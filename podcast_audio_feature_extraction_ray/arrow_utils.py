@@ -1,0 +1,32 @@
+"""Zero-copy helpers between Arrow list columns and numpy buffers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def list_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """Return (values, offsets) numpy views of a list<T> column.
+
+    ``offsets`` is int64[n+1]; ``values`` indexes the FULL child buffer, so
+    ``values[offsets[i]:offsets[i+1]]`` is row i — valid for sliced arrays
+    too (``.offsets`` respects the slice, ``.values`` does not slice).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy().astype(np.int64, copy=False)
+    values = col.values.to_numpy(zero_copy_only=False)
+    return values, offsets
+
+
+def list_array(values: np.ndarray, offsets: np.ndarray, value_type=pa.int32()) -> pa.Array:
+    """Build a list<value_type> array from numpy (values, offsets)."""
+    if len(values) > np.iinfo(np.int32).max:
+        return pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), pa.array(values, type=value_type)
+        )
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), type=pa.int32()),
+        pa.array(values, type=value_type),
+    )

@@ -1,0 +1,248 @@
+"""Pure-numpy window kernels — the vectorized heart of the engine.
+
+These functions operate on the flat ``(values, offsets)`` representation
+of an Arrow ``list<int32>`` column (zero-copy views of the Arrow buffers)
+and are shared by:
+
+- the stateless row-segmenter stage (each row is a complete session),
+- the grouped sessionize+segment stage (rows concatenated per session),
+- the chunked streaming segmenter (bounded-lookahead, W2 analog),
+- the conformance oracle in tests (which deliberately uses a separate,
+  loop-based reimplementation in ``oracle.py`` — these kernels are the
+  ENGINE, not the oracle).
+
+Window semantics (see ``config.WindowSpec``) replicate the reference's
+boundary arithmetic token-for-token:
+- frame mode:   reference ``data/custom_FrameModeFunctionals.conf.inc:8-11``
+- segment mode: reference ``src/search/index.py:76-89`` (``math.ceil``
+  loop bound, inclusive-both-ends membership by start tick only)
+
+No Python loops over rows or windows: window planning, token gather and
+per-window aggregates are all O(total_tokens) vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from podcast_audio_feature_extraction_ray.config import WindowSpec
+
+__all__ = [
+    "plan_windows",
+    "concat_ranges",
+    "gather_windows",
+    "window_aggregates",
+    "lag_lead_windows",
+]
+
+
+def plan_windows(
+    lengths: np.ndarray,
+    spec: WindowSpec,
+    base_tick: np.ndarray | None = None,
+    is_final: np.ndarray | None = None,
+    avail_len: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Plan all windows for a batch of sessions (or session chunks).
+
+    Args:
+        lengths: int64[n_rows] — OWNED token count of each row (chunk
+            ticks, excluding any lookahead tokens carried in the buffer).
+        spec: window geometry.
+        base_tick: optional int64[n_rows] global tick of each row's first
+            owned token (chunked processing of one long session). Window
+            starts are always aligned to the GLOBAL stream origin
+            (multiples of ``hop`` from tick 0); a row owns exactly the
+            windows whose start tick falls inside
+            ``[base_tick, base_tick + length)`` (window ownership by start
+            tick — SURVEY §7.4.2), so each window is emitted exactly once
+            across chunk cuts. Chunk cuts MUST be aligned to multiples of
+            ``hop`` so the required lookahead is bounded by
+            ``spec.lookahead`` (the reference's 300s chunk is exactly 625
+            hops — ``src/features/YAMNetExtractor.py:78``).
+        is_final: optional bool[n_rows] — whether the row contains the END
+            of its session (default: all True). Affects only segment mode,
+            whose loop bound is ``ceil(last_tick) = L - 1``.
+        avail_len: optional int64[n_rows] — tokens actually present in the
+            row's buffer from ``base_tick`` on (owned + lookahead). Slices
+            are clipped to this. Default: ``lengths``.
+
+    Returns:
+        (row_idx, win_id, ts_start, slice_len) — one entry per window.
+        ``ts_start`` is the global start tick, ``win_id = ts_start // hop``.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    H, W = spec.hop, spec.window
+    if base_tick is None:
+        base_tick = np.zeros(n, dtype=np.int64)
+    else:
+        base_tick = np.asarray(base_tick, dtype=np.int64)
+    if is_final is None:
+        is_final = np.ones(n, dtype=bool)
+    if avail_len is None:
+        avail_len = lengths
+    chunk_end = base_tick + lengths
+
+    if spec.mode == "frame":
+        # windows at k*H while k*H < L (half-open [kH, kH+W))
+        own_end = chunk_end
+    else:
+        # windows at s in range(0, ceil(last_tick), H): s < L - 1;
+        # the -1 applies only where the session actually ends.
+        own_end = chunk_end - is_final.astype(np.int64)
+
+    # first window owned by each row: smallest k*H >= base_tick
+    first_k = -(-base_tick // H)  # ceil div
+    n_wins = np.maximum(-(-(own_end - first_k * H) // H), 0)
+    n_wins = np.where(lengths > 0, n_wins, 0)
+
+    total = int(n_wins.sum())
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), n_wins)
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_wins, out=cum[1:])
+    k = np.arange(total, dtype=np.int64) - cum[:-1][row_idx] + first_k[row_idx]
+    ts_start = k * H
+
+    width = W if spec.mode == "frame" else W + 1  # inclusive [s, s+W]
+    clip = (base_tick + np.asarray(avail_len, dtype=np.int64))[row_idx]
+    end_excl = np.minimum(ts_start + width, clip)
+    slice_len = end_excl - ts_start
+    return row_idx, k, ts_start, slice_len
+
+
+def concat_ranges(starts: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized concatenation of integer ranges.
+
+    Returns (flat_indices, out_offsets) where
+    ``flat_indices = concatenate([arange(s, s+l) for s, l in zip(starts, lens)])``
+    and ``out_offsets`` is the int64[n+1] offsets array of the result.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    out_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    idx = np.arange(total, dtype=np.int64)
+    idx += np.repeat(np.asarray(starts, dtype=np.int64) - out_offsets[:-1], lens)
+    return idx, out_offsets
+
+
+def gather_windows(
+    values: np.ndarray,
+    row_value_start: np.ndarray,
+    row_base_tick: np.ndarray,
+    row_idx: np.ndarray,
+    ts_start: np.ndarray,
+    slice_len: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather window token slices from the flat values buffer.
+
+    ``row_value_start[i]`` is the index into ``values`` of row i's first
+    token; ``row_base_tick[i]`` the global tick of that token.
+    Returns (seg_values, seg_offsets) in Arrow list layout.
+    """
+    starts = row_value_start[row_idx] + (ts_start - row_base_tick[row_idx])
+    idx, seg_offsets = concat_ranges(starts, slice_len)
+    return values[idx], seg_offsets
+
+
+def window_aggregates(
+    seg_values: np.ndarray,
+    seg_offsets: np.ndarray,
+    gt_threshold: int = 25_000,
+    match_token: int = 13,
+) -> dict[str, np.ndarray]:
+    """Per-window aggregate family (token analog of reference metrics).
+
+    - n_tokens        : G2 word-count analog (``src/search/index.py:33-36``)
+    - n_distinct      : G3 distinct-speakers analog (``index.py:93-95``)
+    - freq_gt         : G4 thresholded frequency (``src/search/metrics.py:8-21``)
+    - match_count     : G5 argmax-class count analog (``metrics.py:24-30``)
+    - sum/mean/std/max/min : G6/G7 building blocks (``metrics.py:33-57``)
+
+    ``std`` is the population std (ddof=0, numpy default) — matches the
+    reference's ``np.std`` usage in ``metrics.py:36``.
+    """
+    starts = seg_offsets[:-1]
+    lens = np.diff(seg_offsets)
+    n = len(starts)
+    out: dict[str, np.ndarray] = {}
+    out["n_tokens"] = lens.astype(np.int64)
+    if n == 0 or len(seg_values) == 0:
+        # column ORDER must match the main branch exactly — zero-window
+        # chunks concat with populated ones.
+        z64 = np.zeros(n, dtype=np.int64)
+        zf = np.zeros(n, dtype=np.float64)
+        for name in ("freq_gt", "match_count", "tok_sum"):
+            out[name] = z64.copy()
+        out["tok_mean"] = zf
+        out["tok_std"] = zf.copy()
+        out["tok_max"] = z64.copy()
+        out["tok_min"] = z64.copy()
+        out["n_distinct"] = z64.copy()
+        return out
+
+    v = seg_values.astype(np.int64, copy=False)
+    # windows are non-empty by construction (every window owns its start
+    # tick), so reduceat segments are all valid.
+    assert lens.min() > 0, "empty window emitted — kernel invariant broken"
+    win_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    out["freq_gt"] = np.add.reduceat((v > gt_threshold).astype(np.int64), starts)
+    out["match_count"] = np.add.reduceat((v == match_token).astype(np.int64), starts)
+    s = np.add.reduceat(v, starts)
+    out["tok_sum"] = s
+    mean = s / lens
+    out["tok_mean"] = mean
+    sq = np.add.reduceat(v * v, starts)
+    var = sq / lens - mean * mean
+    out["tok_std"] = np.sqrt(np.maximum(var, 0.0))
+    out["tok_max"] = np.maximum.reduceat(v, starts)
+    out["tok_min"] = np.minimum.reduceat(v, starts)
+
+    # distinct count: lexsort by (window, value), count value-change points
+    order = np.lexsort((v, win_of))
+    sv, sw = v[order], win_of[order]
+    change = np.empty(len(sv), dtype=bool)
+    change[0] = True
+    np.not_equal(sv[1:], sv[:-1], out=change[1:])
+    change[1:] |= sw[1:] != sw[:-1]
+    out["n_distinct"] = np.bincount(sw[change], minlength=n).astype(np.int64)
+    return out
+
+
+def lag_lead_windows(
+    values: np.ndarray,
+    row_value_start: np.ndarray,
+    row_value_len: np.ndarray,
+    row_base_tick: np.ndarray,
+    row_idx: np.ndarray,
+    ts_start: np.ndarray,
+    slice_len: np.ndarray,
+    lag: int,
+    lead: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Bounded lag/lead context slices for each window.
+
+    ``lag_tokens``  = up to ``lag`` ticks immediately before ``ts_start``
+    (truncated at stream start — the null-pad analog is a shorter list).
+    ``lead_tokens`` = up to ``lead`` ticks immediately after the window's
+    exclusive end (truncated at stream end). ``lead`` must be bounded by
+    the declared lookahead — the generalization of the YAMNet chunk
+    lookahead (reference ``src/features/YAMNetExtractor.py:78-95``); zero
+    temporal leakage beyond ``ts_end + lead`` is tested as a property.
+
+    Returns (lag_values, lag_offsets, lead_values, lead_offsets).
+    """
+    base = row_base_tick[row_idx]
+    vstart = row_value_start[row_idx]
+    vlen = row_value_len[row_idx]
+    rel_start = ts_start - base
+    lag_lo = np.maximum(rel_start - lag, 0)
+    lag_len = rel_start - lag_lo
+    lidx, lag_off = concat_ranges(vstart + lag_lo, lag_len)
+    rel_end = rel_start + slice_len
+    lead_hi = np.minimum(rel_end + lead, vlen)
+    lead_len = np.maximum(lead_hi - rel_end, 0)
+    ridx, lead_off = concat_ranges(vstart + rel_end, lead_len)
+    return values[lidx], lag_off, values[ridx], lead_off

@@ -1,0 +1,200 @@
+"""Fixed-stride window segmentation stages (SURVEY §2.3 W1/W2/W3).
+
+Three execution paths over the same numpy kernel
+(``kernels.plan_windows`` / ``gather_windows``):
+
+1. ``segment_rows``     — each input row IS a complete session (the
+   dominant 10^12-sequence training-data case: independent pre-tokenized
+   sequences). Stateless ``map_batches`` over zero-copy Arrow; NO shuffle.
+   Analog of per-episode openSMILE frames
+   (reference ``src/features/OpenSmileExtractor.py:40-56``).
+
+2. ``segment_sessions`` — sessions span multiple rows keyed by
+   ``session_key`` ordered by ``order_key``. ONE hash shuffle
+   (``groupby .map_groups``); windows never cross sessions so no further
+   exchange. Analog of the transcript segmenter loop
+   (reference ``src/search/index.py:55-110``).
+
+3. ``segment_sessions`` with ``chunk_ticks`` — same output, but inside
+   each group the session stream is processed chunk-by-chunk with a
+   bounded lookahead of ``spec.lookahead`` ticks, constant kernel memory
+   per session regardless of session length. Chunk cuts are aligned to
+   multiples of ``hop`` so lookahead is exact — the token analog of the
+   YAMNet 300s/0.47s chunk loop (reference
+   ``src/features/YAMNetExtractor.py:78-95``; 300s = 625 hops).
+
+Scale notes (100 TB): path 1 streams with zero shuffle. Path 2's shuffle
+moves each token once; skewed hot sessions are bounded by ``chunk_ticks``
+kernel memory but still land in one group — the range-partition +
+overlap-duplication plan for splitting a single monster session across
+tasks is documented in SURVEY §7.4 and relies on precomputed per-row
+start offsets (metadata-only prefix-sum pass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from podcast_audio_feature_extraction_ray.arrow_utils import list_array, list_buffers
+from podcast_audio_feature_extraction_ray.config import WindowSpec
+from podcast_audio_feature_extraction_ray import kernels
+
+
+def _emit_windows(
+    batch: pa.Table,
+    key_cols: list[str],
+    values: np.ndarray,
+    row_value_start: np.ndarray,
+    row_value_len: np.ndarray,
+    row_base_tick: np.ndarray,
+    spec: WindowSpec,
+    *,
+    is_final: np.ndarray | None = None,
+    avail_len: np.ndarray | None = None,
+    with_aggregates: bool = False,
+    lag: int = 0,
+    lead: int = 0,
+    gt_threshold: int = 25_000,
+    match_token: int = 13,
+) -> pa.Table:
+    """Shared window-emission: plan, gather, aggregate, assemble Arrow."""
+    row_idx, win_id, ts_start, slice_len = kernels.plan_windows(
+        row_value_len, spec, base_tick=row_base_tick, is_final=is_final, avail_len=avail_len
+    )
+    seg_values, seg_offsets = kernels.gather_windows(
+        values, row_value_start, row_base_tick, row_idx, ts_start, slice_len
+    )
+    cols: dict[str, object] = {}
+    take_idx = pa.array(row_idx)
+    for c in key_cols:
+        col = batch[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[c] = col.take(take_idx)
+    cols["win_id"] = pa.array(win_id, type=pa.int64())
+    cols["ts_start"] = pa.array(ts_start, type=pa.int64())
+    cols["ts_end"] = pa.array(ts_start + slice_len, type=pa.int64())
+    cols["seg_tokens"] = list_array(seg_values, seg_offsets)
+    if with_aggregates:
+        aggs = kernels.window_aggregates(
+            seg_values, seg_offsets, gt_threshold=gt_threshold, match_token=match_token
+        )
+        for name, arr in aggs.items():
+            cols[name] = pa.array(arr)
+    if lag or lead:
+        lv, lo, rv, ro = kernels.lag_lead_windows(
+            values, row_value_start, row_value_len, row_base_tick,
+            row_idx, ts_start, slice_len, lag, lead,
+        )
+        if lag:
+            cols["lag_tokens"] = list_array(lv, lo)
+        if lead:
+            cols["lead_tokens"] = list_array(rv, ro)
+    return pa.table(cols)
+
+
+def segment_batch(
+    batch: pa.Table,
+    spec: WindowSpec,
+    key_cols=("doc_id", "source"),
+    tokens_col: str = "tokens",
+    **opts,
+) -> pa.Table:
+    """Segment a batch where every row is a complete session (path 1)."""
+    values, offsets = list_buffers(batch[tokens_col])
+    row_value_start = offsets[:-1]
+    row_value_len = np.diff(offsets)
+    base = np.zeros(batch.num_rows, dtype=np.int64)
+    return _emit_windows(
+        batch, list(key_cols), values, row_value_start, row_value_len, base, spec, **opts
+    )
+
+
+def segment_rows(ds, spec: WindowSpec, key_cols=("doc_id", "source"), batch_size: int = 4096, **opts):
+    """Stateless row-per-session segmenter: zero-shuffle map_batches."""
+    return ds.map_batches(
+        lambda b: segment_batch(b, spec, key_cols=key_cols, **opts),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def _session_group_fn(
+    group: pa.Table,
+    spec: WindowSpec,
+    session_key: tuple,
+    order_key: tuple,
+    chunk_ticks: int | None,
+    opts: dict,
+) -> pa.Table:
+    """Segment one session group: sort by order_key, stream the chunks.
+
+    ``map_groups`` hands one (session_key) group at a time. The token
+    stream is never materialized beyond ``chunk_ticks + lookahead`` when
+    chunking is on.
+    """
+    order_idx = pa.compute.sort_indices(
+        group.select(list(order_key)),
+        sort_keys=[(c, "ascending") for c in order_key],
+    )
+    group = group.take(order_idx)
+    values, offsets = list_buffers(group["tokens"])
+    row_start, row_len = offsets[:-1], np.diff(offsets)
+    # assemble the contiguous session stream (values may be shared child
+    # buffer with gaps after take(); rebuild contiguous)
+    idx, _ = kernels.concat_ranges(row_start, row_len)
+    stream = values[idx]
+    L = len(stream)
+    key_tbl = group.select(list(session_key)).slice(0, 1)
+
+    H = spec.hop
+    if chunk_ticks is None or L <= chunk_ticks + spec.lookahead:
+        chunks = [(0, L, L)]
+    else:
+        if opts.get("lag") or opts.get("lead"):
+            raise NotImplementedError(
+                "lag/lead across chunk cuts needs the trailing-ring-buffer path; "
+                "use chunk_ticks=None or the rows path for lag/lead features"
+            )
+        C = max(H, (chunk_ticks // H) * H)  # align cuts to hop multiples
+        chunks = []
+        for a in range(0, L, C):
+            owned = min(C, L - a)
+            avail = min(owned + (spec.lookahead + (1 if spec.mode == "segment" else 0)), L - a)
+            chunks.append((a, owned, avail))
+    outs = []
+    for a, owned, avail in chunks:
+        sub = stream[a : a + avail]
+        out = _emit_windows(
+            key_tbl,
+            list(session_key),
+            sub,
+            row_value_start=np.array([0], dtype=np.int64),
+            row_value_len=np.array([owned], dtype=np.int64),
+            row_base_tick=np.array([a], dtype=np.int64),
+            spec=spec,
+            is_final=np.array([a + owned >= L]),
+            avail_len=np.array([avail], dtype=np.int64),
+            **opts,
+        )
+        outs.append(out)
+    return pa.concat_tables(outs)
+
+
+def segment_sessions(
+    ds,
+    spec: WindowSpec,
+    session_key=("doc_id", "source"),
+    order_key=("seq_no",),
+    chunk_ticks: int | None = 1_048_576,
+    **opts,
+):
+    """Multi-row sessionize + segment (paths 2/3): one hash shuffle."""
+    sk, ok, ct = tuple(session_key), tuple(order_key), chunk_ticks
+
+    def fn(group: pa.Table) -> pa.Table:
+        return _session_group_fn(group, spec, sk, ok, ct, opts)
+
+    return ds.groupby(list(sk)).map_groups(fn, batch_format="pyarrow")

@@ -1,0 +1,140 @@
+"""Conformance: engine segmenter vs loop oracle (FIXTURES.md pytest plan 1-2, 6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from podcast_audio_feature_extraction_ray import fixtures, oracle
+from podcast_audio_feature_extraction_ray.config import WindowSpec
+from podcast_audio_feature_extraction_ray.stages import segment as seg
+
+from .util import assert_windows_equal
+
+SPECS = [
+    WindowSpec(96, 48, "frame"),
+    WindowSpec(16, 8, "frame"),
+    WindowSpec(24, 12, "segment"),
+    WindowSpec(7, 3, "segment"),  # non-divisible hop
+    WindowSpec(10, 10, "frame"),  # tumbling
+]
+
+
+def rows_as_sessions_oracle(df: pd.DataFrame, spec, **kw) -> pd.DataFrame:
+    """Oracle where each row is its own session: key by (doc_id, source, seq_no)."""
+    d = df.copy()
+    out = oracle.oracle_segment(
+        d, spec, session_key=("doc_id", "source", "seq_no"), order_key=("seq_no",), **kw
+    )
+    return out
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[f"{s.mode}{s.window}_{s.hop}" for s in SPECS])
+def test_segment_rows_matches_oracle(tiny_tokens, tiny_df, spec):
+    ds = rd.from_arrow(tiny_tokens)
+    got = seg.segment_rows(
+        ds, spec, key_cols=("doc_id", "source", "seq_no"), with_aggregates=True
+    ).to_pandas()
+    want = rows_as_sessions_oracle(tiny_df, spec)
+    assert_windows_equal(got, want, key=("doc_id", "source", "seq_no"))
+
+
+@pytest.mark.parametrize(
+    "spec", [WindowSpec(16, 8, "frame"), WindowSpec(24, 12, "segment")],
+    ids=["frame", "segment"],
+)
+def test_segment_sessions_matches_oracle(tiny_tokens, tiny_df, spec):
+    ds = rd.from_arrow(tiny_tokens)
+    got = seg.segment_sessions(ds, spec, with_aggregates=True).to_pandas()
+    want = oracle.oracle_segment(tiny_df, spec)
+    assert_windows_equal(got, want)
+
+
+@pytest.mark.parametrize("chunk_ticks", [32, 64, 128])
+def test_chunked_equals_unchunked(tiny_tokens, tiny_df, chunk_ticks):
+    """W2 analog: chunked streaming with lookahead emits identical windows."""
+    for spec in (WindowSpec(16, 8, "frame"), WindowSpec(24, 12, "segment")):
+        ds = rd.from_arrow(tiny_tokens)
+        got = seg.segment_sessions(
+            ds, spec, chunk_ticks=chunk_ticks, with_aggregates=True
+        ).to_pandas()
+        want = oracle.oracle_segment(tiny_df, spec)
+        assert_windows_equal(got, want)
+
+
+def test_edge_cases():
+    """Empty list, 1-token, exactly-W, exactly-W+1 sessions."""
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "tokens": pa.array(
+                [[], [5], list(range(16)), list(range(17))], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([0, 1, 16, 17], type=pa.int32()),
+            "source": ["web"] * 4,
+            "seq_no": pa.array([0, 0, 0, 0], type=pa.int64()),
+        }
+    )
+    df = tbl.to_pandas()
+    for spec in (WindowSpec(16, 8, "frame"), WindowSpec(16, 8, "segment")):
+        ds = rd.from_arrow(tbl)
+        got = seg.segment_sessions(ds, spec, with_aggregates=True).to_pandas()
+        want = oracle.oracle_segment(df, spec)
+        assert_windows_equal(got, want)
+    # reference semantics spot checks:
+    # frame: 1-token session -> exactly one (partial) window
+    ds = rd.from_arrow(tbl)
+    f = seg.segment_rows(ds, WindowSpec(16, 8, "frame"), key_cols=("doc_id",)).to_pandas()
+    assert len(f[f.doc_id == "b"]) == 1
+    assert len(f[f.doc_id == "a"]) == 0
+    # segment: 1-token session -> NO windows (range(0, ceil(0)) is empty,
+    # reference src/search/index.py:76)
+    s = seg.segment_rows(ds, WindowSpec(16, 8, "segment"), key_cols=("doc_id",)).to_pandas()
+    assert len(s[s.doc_id == "b"]) == 0
+    # segment inclusive: 17-token session, window [0,16] holds all 17 ticks
+    s17 = s[s.doc_id == "d"]
+    assert list(s17.iloc[0]["seg_tokens"]) == list(range(17))
+
+
+def test_lag_lead_matches_oracle(tiny_tokens, tiny_df):
+    spec = WindowSpec(16, 8, "frame")
+    ds = rd.from_arrow(tiny_tokens)
+    got = seg.segment_sessions(
+        ds, spec, chunk_ticks=None, lag=8, lead=8
+    ).to_pandas()
+    want = oracle.oracle_segment(tiny_df, spec, lag=8, lead=8)[
+        ["doc_id", "source", "win_id", "ts_start", "ts_end",
+         "seg_tokens", "lag_tokens", "lead_tokens"]
+    ]
+    assert_windows_equal(got, want)
+
+
+def test_lead_bounded_no_leakage(tiny_tokens):
+    """Zero temporal leakage: no window reads past ts_end + lead."""
+    spec = WindowSpec(16, 8, "frame")
+    ds = rd.from_arrow(tiny_tokens)
+    got = seg.segment_sessions(ds, spec, chunk_ticks=None, lag=4, lead=4).to_pandas()
+    # reconstruct each session stream and check every emitted token slice
+    streams = oracle.oracle_session_streams(
+        tiny_tokens.to_pandas(), ("doc_id", "source"), ("seq_no",)
+    )
+    for _, r in got.iterrows():
+        toks = streams[(r.doc_id, r.source)]
+        s, e = int(r.ts_start), int(r.ts_end)
+        assert list(r.seg_tokens) == toks[s:e]
+        assert list(r.lead_tokens) == toks[e : e + 4]  # bounded lookahead only
+        assert list(r.lag_tokens) == toks[max(0, s - 4) : s]
+
+
+def test_hot_doc_skew_small(small_tokens):
+    """Zipf-hot docs: grouped path still exact on a larger table."""
+    spec = WindowSpec(96, 48, "frame")
+    ds = rd.from_arrow(small_tokens)
+    got = seg.segment_sessions(ds, spec, chunk_ticks=4096).to_pandas()
+    want = oracle.oracle_segment(small_tokens.to_pandas(), spec)
+    assert_windows_equal(
+        got, want[["doc_id", "source", "win_id", "ts_start", "ts_end", "seg_tokens"]]
+    )
