@@ -1,0 +1,72 @@
+"""Scalar/vectorized functions (SURVEY §2.8), pyarrow.compute throughout.
+
+Every function here is batch-vectorized (Arrow kernels or numpy); the
+matching ANSI-SQL expressions used by the DuckDB correctness oracle live
+next to each docstring so the two stay in lock-step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def shard_key(prefix: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Path shard key: ``{upper(P[5])}/{upper(P[6])}/{P}``.
+
+    Token analog of the reference's episode path deriver, which shards by
+    chars 5 and 6 (0-based) of the show prefix, uppercased
+    (``src/data.py:16-23``).
+    SQL: ``upper(substr(p,6,1)) || '/' || upper(substr(p,7,1)) || '/' || p``
+    """
+    c5 = pc.utf8_upper(pc.utf8_slice_codeunits(prefix, 5, 6))
+    c6 = pc.utf8_upper(pc.utf8_slice_codeunits(prefix, 6, 7))
+    return pc.binary_join_element_wise(c5, c6, prefix, "/")
+
+
+def format_segment_id(base: pa.Array, seg_start: pa.Array) -> pa.Array:
+    """``f"{base}_{seg_start}"`` — segment id generator
+    (reference ``src/search/index.py:81``).
+    SQL: ``base || '_' || cast(seg_start as varchar)``
+    """
+    return pc.binary_join_element_wise(base, pc.cast(seg_start, pa.string()), "_")
+
+
+def parse_segment_id(ids: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
+    """Inverse: split ``"{uri}_{start}"`` on the LAST underscore
+    (reference ``src/search/search.py:293-299``).
+    SQL: ``regexp_extract(id,'^(.*)_([0-9]+)$',1)`` / ``...,2)``.
+    Returns (uri, start:int64).
+    """
+    uri = pc.extract_regex(ids, r"^(?P<uri>.*)_(?P<start>[0-9]+)$")
+    return (
+        pc.struct_field(uri, "uri"),
+        pc.cast(pc.struct_field(uri, "start"), pa.int64()),
+    )
+
+
+_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def word_tokens_np(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic toy tokenizer: split on single spaces, map each word
+    ``w -> len(w)*31 + ord(w[0])`` (0 for empty).
+
+    This is the SQL-replicable stand-in for a real BPE vocabulary, used to
+    derive a token table from the ``documents`` test table so the window
+    engine has a DuckDB-checkable oracle. SQL equivalent::
+
+        list_transform(string_split(text, ' '),
+                       w -> cast(length(w)*31 + coalesce(ascii(w), 0) as int))
+
+    (``length`` = unicode chars = Python ``len``; ``ascii`` = first
+    codepoint = Python ``ord``.) Returns flat (values:int32, offsets:int64).
+    """
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    vals: list[int] = []
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        vals.extend(len(w) * 31 + (ord(w[0]) if w else 0) for w in words)
+        offsets[i + 1] = len(vals)
+    return np.asarray(vals, dtype=np.int32), offsets

@@ -1,0 +1,135 @@
+"""Resumable partitioned output with per-partition manifests.
+
+Semantic recast of the reference's skip-if-output-exists resume
+(``src/features/FeatureExtractor.py:68-90``) and retry-only-failed
+anti-join (``src/search/index.py:124-160``), at partition granularity
+instead of per-episode files (SURVEY §4 "checkpoint granularity"):
+
+- output layout: ``{out_dir}/part={pid:05d}/data.parquet`` — one
+  directory per hash partition of the session key, written ATOMICALLY
+  (temp file + rename) inside the task that owns the partition;
+- manifest:      ``{out_dir}/_manifest/part-{pid:05d}.json`` with
+  lineage (key columns, partition count, row/byte counts, wall time) —
+  written only after the data rename succeeds;
+- resume:        a rerun lists completed manifests and filters BOTH the
+  input rows and the output exchange down to the pending complement
+  (``pending = all EXCEPT completed``), then writes only those
+  partitions. Output bytes are byte-identical across kill/restart
+  because the partition hash is deterministic (stable 64-bit hash, not
+  Python ``hash``) and the per-partition sort key fixes row order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def partition_of(batch: pa.Table, key_cols, num_partitions: int) -> np.ndarray:
+    """Deterministic partition id per row: stable hash of key columns."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        col = pd.Series(batch[c].to_pandas())
+        h ^= pd.util.hash_pandas_object(col, index=False).to_numpy(dtype=np.uint64)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for f in os.listdir(mdir):
+        if f.startswith("part-") and f.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, f)) as fh:
+                    m = json.load(fh)
+                done.add(int(m["partition_id"]))
+            except (ValueError, KeyError, json.JSONDecodeError):
+                continue  # torn manifest -> treat partition as pending
+    return done
+
+
+def write_resumable(
+    ds,
+    out_dir: str,
+    key_cols=("doc_id", "source"),
+    num_partitions: int = 64,
+    sort_within=("doc_id", "source", "ts_start"),
+    input_lineage: list[str] | None = None,
+):
+    """Write ``ds`` as resumable hash-partitioned Parquet.
+
+    Returns the number of partitions written this run. Safe to re-invoke
+    after a crash: completed partitions are skipped before the exchange.
+    """
+    key_cols = tuple(key_cols)
+    done = completed_partitions(out_dir)
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pid = partition_of(batch, key_cols, num_partitions)
+        batch = batch.append_column("__part", pa.array(pid))
+        if done:
+            batch = batch.filter(pa.array(~np.isin(pid, list(done))))
+        return batch
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    sort_cols = [c for c in (sort_within or ()) ]
+
+    def write_group(group: pa.Table) -> pa.Table:
+        t0 = time.time()
+        pid = int(group["__part"][0].as_py())
+        if sort_cols:
+            order = pa.compute.sort_indices(
+                group.select(sort_cols),
+                sort_keys=[(c, "ascending") for c in sort_cols],
+            )
+            group = group.take(order)
+        group = group.drop_columns(["__part"])
+        pdir = os.path.join(out_dir, f"part={pid:05d}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        dst = os.path.join(pdir, "data.parquet")
+        pq.write_table(group, tmp)
+        os.replace(tmp, dst)  # atomic on POSIX
+        man = {
+            "partition_id": pid,
+            "key_cols": list(key_cols),
+            "num_partitions": num_partitions,
+            "rows_out": group.num_rows,
+            "bytes_out": os.path.getsize(dst),
+            "wall_time_s": round(time.time() - t0, 4),
+            "input_lineage": input_lineage or [],
+        }
+        mtmp = os.path.join(manifest_dir(out_dir), f".part-{pid:05d}.tmp")
+        mdst = os.path.join(manifest_dir(out_dir), f"part-{pid:05d}.json")
+        with open(mtmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(mtmp, mdst)
+        return pa.table({"partition_id": pa.array([pid], type=pa.int64()),
+                         "rows_out": pa.array([group.num_rows], type=pa.int64())})
+
+    written = tagged.groupby("__part").map_groups(write_group, batch_format="pyarrow")
+    return written.count()
+
+
+def read_output(out_dir: str):
+    """Read back a resumable output directory as a Dataset."""
+    import glob
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))
+    return rd.read_parquet(files)

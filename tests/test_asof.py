@@ -1,0 +1,94 @@
+"""Backfill/as-of conformance + leakage property (FIXTURES.md plan 3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from podcast_audio_feature_extraction_ray import fixtures, oracle
+from podcast_audio_feature_extraction_ray.config import WindowSpec
+from podcast_audio_feature_extraction_ray.stages import asof, segment as seg
+
+
+@pytest.fixture(scope="module")
+def windows_and_events(tiny_tokens, tiny_df):
+    spec = WindowSpec(16, 8, "frame")
+    win_ds = seg.segment_sessions(rd.from_arrow(tiny_tokens), spec)
+    events = fixtures.event_table(tiny_tokens, rate=1 / 20.0)
+    want_windows = oracle.oracle_segment(tiny_df, spec)[
+        ["doc_id", "source", "win_id", "ts_start", "ts_end", "seg_tokens"]
+    ]
+    want = oracle.oracle_backfill(want_windows, events.to_pandas())
+    return win_ds, events, want
+
+
+def _check(got: pd.DataFrame, want: pd.DataFrame):
+    got = got.sort_values(["doc_id", "source", "ts_start"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "source", "ts_start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    g_null = got["bf_value"].isna().to_numpy()
+    w_null = want["bf_value"].isna().to_numpy()
+    np.testing.assert_array_equal(g_null, w_null)
+    np.testing.assert_allclose(
+        got["bf_value"].to_numpy(dtype=float)[~g_null],
+        want["bf_value"].to_numpy(dtype=float)[~w_null],
+    )
+    np.testing.assert_array_equal(
+        got["bf_ts"].to_numpy(dtype=float)[~g_null],
+        want["bf_ts"].to_numpy(dtype=float)[~w_null],
+    )
+    # zero temporal leakage: joined ts <= cutoff
+    ok = ~g_null
+    assert (
+        got["bf_ts"].to_numpy(dtype=float)[ok] <= (got["ts_end"].to_numpy() - 1)[ok]
+    ).all()
+
+
+def test_backfill_broadcast(windows_and_events):
+    win_ds, events, want = windows_and_events
+    got = asof.backfill_broadcast(win_ds, events, concurrency=2).to_pandas()
+    _check(got, want)
+
+
+def test_backfill_join(windows_and_events):
+    win_ds, events, want = windows_and_events
+    got = asof.backfill_join(win_ds, rd.from_arrow(events)).to_pandas()
+    _check(got, want)
+
+
+def test_sessionize_events_matches_pandas():
+    from podcast_audio_feature_extraction_ray.stages.sessionize import sessionize_events
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 10, 500),
+            "ts": rng.integers(0, 10_000, 500).astype(np.int64),
+            "v": rng.normal(size=500),
+        }
+    )
+    got = (
+        sessionize_events(rd.from_pandas(df), ("user_id",), "ts", gap=200)
+        .to_pandas()
+        .sort_values(["user_id", "ts", "v"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values("ts", kind="mergesort").copy()
+        sess, prev, sid = [], None, 0
+        for t in g["ts"]:
+            if prev is not None and t - prev > 200:
+                sid += 1
+            sess.append(sid)
+            prev = t
+        g["session_no"] = sess
+        want.append(g)
+    want = (
+        pd.concat(want).sort_values(["user_id", "ts", "v"]).reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        got["session_no"].to_numpy(), want["session_no"].to_numpy()
+    )
