@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +9,49 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents → token table → fixed-stride
+    frame windows with the full aggregate family + lag/lead context.
+
+    The 100 TB shape: stateless zero-shuffle ``map_batches`` over
+    zero-copy Arrow (SURVEY §7.1-§7.2); driver smoke-checks rows ≥ 0.
+    """
+    from podcast_audio_feature_extraction_ray.pipelines import queries as q
+
+    return q.g_window_aggs(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from podcast_audio_feature_extraction_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "w1_frame_windows": q.w1_frame_windows,
+        "w2_chunked_frame_windows": q.w2_chunked_frame_windows,
+        "w3_segment_windows": q.w3_segment_windows,
+        "g_window_aggs": q.g_window_aggs,
+        "lag_lead_windows": q.lag_lead_windows,
+        "asof_backfill_events": q.asof_backfill_events,
+        "sessionize_events_q": q.sessionize_events_q,
+        "m1_semi_join": q.m1_semi_join,
+        "t6_anti_join": q.t6_anti_join,
+        "t1_topk": q.t1_topk,
+        "t2_topk_backfill": q.t2_topk_backfill,
+        "t4_stride_sample": q.t4_stride_sample,
+        "s3_shard_key": q.s3_shard_key,
+        "m9_parse_segment_id": q.m9_parse_segment_id,
+        "g6_debate_metric": q.g6_debate_metric,
+        "g7_disapproval_metric": q.g7_disapproval_metric,
+        "g4_thresholded_freq": q.g4_thresholded_freq,
+        "q1_agg": q.q1_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same column names)."""
+    from podcast_audio_feature_extraction_ray.pipelines.sql_oracles import SQL
+
+    return dict(SQL)

@@ -1,0 +1,391 @@
+"""The operator catalog: one callable per implemented operator/pipeline
+(SURVEY §2 inventory), each taking ``sf_dir`` and returning a Dataset /
+pandas DataFrame / pyarrow Table.
+
+Every query here has a matching ANSI-SQL oracle in ``sql_oracles.py``
+(or is explicitly rows-only for non-SQL-expressible ops); column names
+and numeric formulas are kept in lock-step with the SQL — float results
+are produced by the IDENTICAL sequence of IEEE double ops on exact
+integers so value-hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from podcast_audio_feature_extraction_ray.config import WindowSpec
+from podcast_audio_feature_extraction_ray.sources.token_table import documents_to_tokens
+from podcast_audio_feature_extraction_ray.stages import asof, segment as seg, topk
+from podcast_audio_feature_extraction_ray.stages.sessionize import sessionize_events
+from podcast_audio_feature_extraction_ray.functions import scalar
+
+FRAME_Q = WindowSpec(16, 8, "frame")
+SEG_Q = WindowSpec(24, 12, "segment")
+GT_THRESHOLD = 300
+MATCH_TOKEN = 209  # "the" -> 3*31 + ord('t')
+
+WIN_COLS = ["doc_id", "source", "win_id", "ts_start", "ts_end", "seg_tokens"]
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+
+def _tokens(sf_dir: str):
+    return documents_to_tokens(_docs(sf_dir))
+
+
+# ---------------------------------------------------------------- W1/W2/W3
+
+def w1_frame_windows(sf_dir: str):
+    """W1: stateless fixed-stride frames, zero shuffle
+    (reference ``data/custom_FrameModeFunctionals.conf.inc:8-11``)."""
+    return seg.segment_rows(_tokens(sf_dir), FRAME_Q).select_columns(WIN_COLS)
+
+
+def w2_chunked_frame_windows(sf_dir: str):
+    """W2: chunked streaming with hop-aligned cuts + bounded lookahead —
+    identical output to W1 (reference ``src/features/YAMNetExtractor.py:78-95``)."""
+    return seg.segment_sessions(_tokens(sf_dir), FRAME_Q, chunk_ticks=64).select_columns(WIN_COLS)
+
+
+def w3_segment_windows(sf_dir: str):
+    """W3: inclusive-bound transcript-style segments + per-window counts
+    (reference ``src/search/index.py:55-110``)."""
+    out = seg.segment_rows(_tokens(sf_dir), SEG_Q, with_aggregates=True)
+    return out.select_columns(WIN_COLS + ["n_tokens", "n_distinct"])
+
+
+def g_window_aggs(sf_dir: str):
+    """G2-G7 aggregate family per frame window
+    (reference ``src/search/metrics.py:8-57``)."""
+    out = seg.segment_rows(
+        _tokens(sf_dir), FRAME_Q, with_aggregates=True,
+        gt_threshold=GT_THRESHOLD, match_token=MATCH_TOKEN,
+    )
+    return out.select_columns(
+        WIN_COLS
+        + ["n_tokens", "n_distinct", "freq_gt", "match_count",
+           "tok_sum", "tok_mean", "tok_std", "tok_max", "tok_min"]
+    )
+
+
+def lag_lead_windows(sf_dir: str):
+    """Lag/lead bounded context slices (W2 lookahead generalized)."""
+    out = seg.segment_rows(_tokens(sf_dir), FRAME_Q, lag=8, lead=8)
+    return out.select_columns(WIN_COLS + ["lag_tokens", "lead_tokens"])
+
+
+# ---------------------------------------------------------------- as-of / sessionize
+
+def asof_backfill_events(sf_dir: str):
+    """J3 point-in-time attach: each purchase gets the last click value
+    at-or-before it, per user (reference zip-join
+    ``src/search/search.py:112-116`` generalized to a true as-of join)."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("ts"), "ts_us", batch["ts"].cast(pa.int64())
+        )
+
+    ev = ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts_us"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "ts_us", "value"]
+    )
+    out = asof.backfill_join(
+        purchases, clicks, key=("user_id",), ts_col="ts_us", value_col="value",
+        cutoff_col="ts_us",
+    )
+    return out.select_columns(["event_id", "user_id", "ts_us", "bf_value", "bf_ts"])
+
+
+def sessionize_events_q(sf_dir: str):
+    """Gap-based sessionization (30 min) over the event log."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = sessionize_events(ev, ("user_id",), "ts", gap=pd.Timedelta("30min"))
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("ts"), "ts_us", batch["ts"].cast(pa.int64())
+        )
+
+    return out.map_batches(to_us, batch_format="pyarrow").select_columns(
+        ["event_id", "user_id", "ts_us", "session_no"]
+    )
+
+
+# ---------------------------------------------------------------- joins / filters / topk
+
+def m1_semi_join(sf_dir: str):
+    """M1/J1 broadcast semi-join: lineitem of well-capitalized suppliers
+    (reference ``create_opensmile_features.py:22-23``)."""
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    keys = set(
+        sup.filter(expr="s_acctbal > 3000.0").to_pandas()["s_suppkey"].tolist()
+    )  # small side: driver materialize + closure broadcast
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"],
+    )
+    key_arr = pa.array(sorted(keys), type=pa.int64())
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["l_suppkey"], value_set=key_arr))
+
+    return li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def t6_anti_join(sf_dir: str):
+    """T6 anti-join resume analog: orders whose customer is NOT in the
+    negative-balance set (reference ``src/search/index.py:124-160``)."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    bad = set(cust.filter(expr="c_acctbal < 0.0").to_pandas()["c_custkey"].tolist())
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    bad_arr = pa.array(sorted(bad), type=pa.int64())
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch["o_custkey"], value_set=bad_arr)))
+
+    return orders.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def t1_topk(sf_dir: str):
+    """T1 global top-k (reference ``src/search/search.py:355-358``)."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return topk.top_k(orders, "o_totalprice", 10, tiebreak=["o_orderkey"])
+
+
+def t2_topk_backfill(sf_dir: str):
+    """T2 filter→top-k with rank-ordered backfill
+    (reference ``src/search/search.py:360-455``)."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    return topk.top_k_backfill(
+        orders, "o_totalprice", 10,
+        predicate=lambda b: pc.equal(b["o_orderpriority"], "1-URGENT"),
+        tiebreak=["o_orderkey"],
+    )
+
+
+def t4_stride_sample(sf_dir: str):
+    """T4 every-k-th-within-first-m per entity
+    (reference ``create_vggish_features.py:27`` ``[:6000:5]``).
+
+    Ordered by the unique ``event_id`` so the slice is well-defined."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return topk.stride_sample(ev, ("user_id",), ("event_id",), first=60, step=5)
+
+
+# ---------------------------------------------------------------- scalar fns
+
+def s3_shard_key(sf_dir: str):
+    """S3 path shard-key derivation (reference ``src/data.py:16-23``)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        prefix = pc.binary_join_element_wise(
+            pa.array(["show"] * batch.num_rows),
+            pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 6, "0"),
+            "_",
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "shard_path": scalar.shard_key(prefix)}
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def m9_parse_segment_id(sf_dir: str):
+    """M9 id round-trip (reference ``src/search/search.py:293-299``)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        base = pc.binary_join_element_wise(
+            pa.array(["spotify:doc"] * batch.num_rows),
+            pc.cast(batch["doc_id"], pa.string()),
+            ":",
+        )
+        seg_id = scalar.format_segment_id(base, batch["n_chars"])
+        uri, start = scalar.parse_segment_id(seg_id)
+        return pa.table({"seg_id": seg_id, "uri": uri, "seg_start": start})
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- grouped metrics (combiner pattern)
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return (
+        pc.round(pc.multiply(col, pa.scalar(100.0)))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def _grouped_cents_stats(sf_dir: str):
+    """Pre-aggregate (combiner) inside map_batches, then a SMALL groupby —
+    the shuffle only moves one row per (custkey, batch)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"k": batch["o_custkey"].to_numpy(), "c": _cents(batch["o_totalprice"])}
+        )
+        g = df.groupby("k", sort=False)["c"]
+        out = pd.DataFrame(
+            {
+                "o_custkey": g.sum().index.to_numpy(),
+                "s": g.sum().to_numpy(),
+                "s2": df.assign(c2=df.c * df.c).groupby("k", sort=False)["c2"].sum().to_numpy(),
+                "mx": g.max().to_numpy(),
+                "mn": g.min().to_numpy(),
+                "n": g.count().to_numpy().astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("o_custkey").aggregate(
+        Sum("s", alias_name="sum_cents"),
+        Sum("s2", alias_name="sumsq_cents"),
+        Max("mx", alias_name="max_cents"),
+        Min("mn", alias_name="min_cents"),
+        Sum("n", alias_name="n_orders"),
+    )
+
+
+def g6_debate_metric(sf_dir: str):
+    """G6 composite grouped metric (reference ``src/search/metrics.py:33-43``)."""
+    stats = _grouped_cents_stats(sf_dir)
+
+    def final(batch: pa.Table) -> pa.Table:
+        s = batch["sum_cents"].to_numpy().astype(np.int64)
+        s2 = batch["sumsq_cents"].to_numpy().astype(np.int64)
+        mx = batch["max_cents"].to_numpy().astype(np.int64)
+        n = batch["n_orders"].to_numpy().astype(np.int64)
+        mean = s / n
+        std = np.sqrt(np.maximum(s2 / n - mean * mean, 0.0))
+        m = std / 142.52017 + 12.0 * mx / 0.0155821005
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "n_orders": pa.array(n),
+                "debate_metric": pa.array(m),
+            }
+        )
+
+    return stats.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def g7_disapproval_metric(sf_dir: str):
+    """G7 composite grouped metric (reference ``src/search/metrics.py:46-57``)."""
+    stats = _grouped_cents_stats(sf_dir)
+
+    def final(batch: pa.Table) -> pa.Table:
+        s = batch["sum_cents"].to_numpy().astype(np.int64)
+        mx = batch["max_cents"].to_numpy().astype(np.int64)
+        mn = batch["min_cents"].to_numpy().astype(np.int64)
+        n = batch["n_orders"].to_numpy().astype(np.int64)
+        mean = s / n
+        m = 2.0 * mean / 0.8239882 + mx / 556.0259 + mn / 1586.24
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "n_orders": pa.array(n),
+                "disapproval_metric": pa.array(m),
+            }
+        )
+
+    return stats.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def g4_thresholded_freq(sf_dir: str):
+    """G4/G5 thresholded + match counts per group
+    (reference ``src/search/metrics.py:8-30``)."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity", "l_linenumber"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": batch["l_orderkey"].to_numpy(),
+                "hi": pc.greater(batch["l_quantity"], pa.scalar(45.0)).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64),
+                "m1": pc.equal(batch["l_linenumber"], pa.scalar(1, pa.int32())).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("k", sort=False).sum().reset_index()
+        g["n"] = df.groupby("k", sort=False).size().to_numpy().astype(np.int64)
+        return pa.Table.from_pandas(
+            g.rename(columns={"k": "l_orderkey"}), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("hi", alias_name="freq_gt"),
+            Sum("m1", alias_name="match_count"),
+            Sum("n", alias_name="n_lines"),
+        )
+    )
+
+
+def q1_agg(sf_dir: str):
+    """Classic wide-group aggregate with exact integer cents (pre-agg
+    combiner before the shuffle)."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "q": _cents(batch["l_quantity"]),
+                "p": _cents(batch["l_extendedprice"]),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sq=("q", "sum"), sp=("p", "sum"), n=("q", "size")
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sq", alias_name="sum_qty_cents"),
+            Sum("sp", alias_name="sum_price_cents"),
+            Sum("n", alias_name="n_rows"),
+        )
+    )

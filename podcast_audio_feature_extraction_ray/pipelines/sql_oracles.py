@@ -1,0 +1,225 @@
+"""DuckDB oracle SQL, one entry per query in ``queries.py``.
+
+The driver registers the parquet tables as views named
+``region nation customer supplier part orders lineitem events documents
+embeddings``. Column names AND float formulas mirror the Ray
+implementations exactly (integer math until one final identical sequence
+of double ops) so order-insensitive value hashes match.
+"""
+
+# documents -> token table (mirror of functions.scalar.word_tokens_np)
+_TOK = """
+tok AS (
+  SELECT cast(doc_id AS varchar) AS doc_id,
+         source,
+         list_transform(string_split(text, ' '),
+                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
+  FROM documents
+),
+sess AS (SELECT doc_id, source, tokens, len(tokens) AS L FROM tok)
+"""
+
+_FRAME_W, _FRAME_H = 16, 8
+_SEG_W, _SEG_H = 24, 12
+
+# frame windows: k in [0, ceil(L/H)), slice [kH, min(kH+W, L))
+_FRAME_WINDOWS = f"""
+win AS (
+  SELECT doc_id, source, tokens, L,
+         unnest(range(0, cast(ceil(L / {_FRAME_H}.0) AS bigint))) AS win_id
+  FROM sess
+),
+frame AS (
+  SELECT doc_id, source,
+         win_id,
+         win_id * {_FRAME_H} AS ts_start,
+         least(win_id * {_FRAME_H} + {_FRAME_W}, L) AS ts_end,
+         tokens[win_id * {_FRAME_H} + 1 : least(win_id * {_FRAME_H} + {_FRAME_W}, L)] AS seg_tokens,
+         tokens, L
+  FROM win
+)
+"""
+
+SQL = {}
+
+SQL["w1_frame_windows"] = f"""
+WITH {_TOK}, {_FRAME_WINDOWS}
+SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens FROM frame
+"""
+
+SQL["w2_chunked_frame_windows"] = SQL["w1_frame_windows"]
+
+# segment windows: s = k*H for k in [0, ceil((L-1)/H)), inclusive ticks [s, s+W]
+SQL["w3_segment_windows"] = f"""
+WITH {_TOK},
+win AS (
+  SELECT doc_id, source, tokens, L,
+         unnest(range(0, cast(ceil((L - 1) / {_SEG_H}.0) AS bigint))) AS win_id
+  FROM sess
+),
+segw AS (
+  SELECT doc_id, source, win_id,
+         win_id * {_SEG_H} AS ts_start,
+         least(win_id * {_SEG_H} + {_SEG_W} + 1, L) AS ts_end,
+         tokens[win_id * {_SEG_H} + 1 : least(win_id * {_SEG_H} + {_SEG_W} + 1, L)] AS seg_tokens
+  FROM win
+)
+SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens,
+       cast(len(seg_tokens) AS bigint) AS n_tokens,
+       cast(len(list_distinct(seg_tokens)) AS bigint) AS n_distinct
+FROM segw
+"""
+
+SQL["g_window_aggs"] = f"""
+WITH {_TOK}, {_FRAME_WINDOWS},
+agg AS (
+  SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens,
+         cast(len(seg_tokens) AS bigint) AS n_tokens,
+         cast(len(list_distinct(seg_tokens)) AS bigint) AS n_distinct,
+         cast(len(list_filter(seg_tokens, x -> x > 300)) AS bigint) AS freq_gt,
+         cast(len(list_filter(seg_tokens, x -> x = 209)) AS bigint) AS match_count,
+         cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint)), 'sum') AS bigint) AS tok_sum,
+         cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint) * cast(x AS bigint)), 'sum') AS bigint) AS tok_sq,
+         cast(list_aggregate(seg_tokens, 'max') AS bigint) AS tok_max,
+         cast(list_aggregate(seg_tokens, 'min') AS bigint) AS tok_min
+  FROM frame
+)
+SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens,
+       n_tokens, n_distinct, freq_gt, match_count, tok_sum,
+       tok_sum / n_tokens AS tok_mean,
+       sqrt(greatest(tok_sq / n_tokens - (tok_sum / n_tokens) * (tok_sum / n_tokens), 0.0)) AS tok_std,
+       tok_max, tok_min
+FROM agg
+"""
+
+SQL["lag_lead_windows"] = f"""
+WITH {_TOK}, {_FRAME_WINDOWS}
+SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens,
+       tokens[greatest(ts_start - 8, 0) + 1 : ts_start] AS lag_tokens,
+       tokens[ts_end + 1 : least(ts_end + 8, L)] AS lead_tokens
+FROM frame
+"""
+
+SQL["asof_backfill_events"] = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.value AS bf_value, epoch_us(c.ts) AS bf_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+SQL["sessionize_events_q"] = """
+WITH brk AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS b
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       cast(sum(b) OVER (PARTITION BY user_id ORDER BY ts_us
+            ROWS UNBOUNDED PRECEDING) AS bigint) AS session_no
+FROM brk
+"""
+
+SQL["m1_semi_join"] = """
+SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 3000.0)
+"""
+
+SQL["t6_anti_join"] = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+"""
+
+SQL["t1_topk"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+SQL["t2_topk_backfill"] = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) DESC,
+         o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+SQL["t4_stride_sample"] = """
+WITH r AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, value
+FROM r WHERE rn <= 60 AND (rn - 1) % 5 = 0
+"""
+
+SQL["s3_shard_key"] = """
+WITH p AS (
+  SELECT doc_id, 'show_' || lpad(cast(doc_id AS varchar), 6, '0') AS prefix
+  FROM documents
+)
+SELECT doc_id,
+       upper(substr(prefix, 6, 1)) || '/' || upper(substr(prefix, 7, 1)) || '/' || prefix AS shard_path
+FROM p
+"""
+
+SQL["m9_parse_segment_id"] = """
+WITH s AS (
+  SELECT 'spotify:doc:' || cast(doc_id AS varchar) || '_' || cast(n_chars AS varchar) AS seg_id
+  FROM documents
+)
+SELECT seg_id,
+       regexp_extract(seg_id, '^(.*)_([0-9]+)$', 1) AS uri,
+       cast(regexp_extract(seg_id, '^(.*)_([0-9]+)$', 2) AS bigint) AS seg_start
+FROM s
+"""
+
+_CENTS_STATS = """
+stats AS (
+  SELECT o_custkey,
+         cast(sum(c) AS bigint) AS s,
+         cast(sum(c * c) AS bigint) AS s2,
+         max(c) AS mx, min(c) AS mn,
+         cast(count(*) AS bigint) AS n
+  FROM (SELECT o_custkey, cast(round(o_totalprice * 100.0) AS bigint) AS c FROM orders)
+  GROUP BY o_custkey
+)
+"""
+
+SQL["g6_debate_metric"] = f"""
+WITH {_CENTS_STATS}
+SELECT o_custkey, n AS n_orders,
+       sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) / 142.52017
+         + 12.0 * mx / 0.0155821005 AS debate_metric
+FROM stats
+"""
+
+SQL["g7_disapproval_metric"] = f"""
+WITH {_CENTS_STATS}
+SELECT o_custkey, n AS n_orders,
+       2.0 * (s / n) / 0.8239882 + mx / 556.0259 + mn / 1586.24 AS disapproval_metric
+FROM stats
+"""
+
+SQL["g4_thresholded_freq"] = """
+SELECT l_orderkey,
+       cast(sum(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS bigint) AS freq_gt,
+       cast(sum(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS bigint) AS match_count,
+       cast(count(*) AS bigint) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+SQL["q1_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(round(l_quantity * 100.0) AS bigint)) AS bigint) AS sum_qty_cents,
+       cast(sum(cast(round(l_extendedprice * 100.0) AS bigint)) AS bigint) AS sum_price_cents,
+       cast(count(*) AS bigint) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""

@@ -140,6 +140,7 @@ def backfill_join(
     ts_col: str = "ts",
     value_col: str = "value",
     batch_size: int = 8192,
+    cutoff_col: str | None = None,
 ):
     """Scale path: MERGE-PATH as-of join via tagged union + ONE hash shuffle.
 
@@ -166,7 +167,10 @@ def backfill_join(
 
     def tag_windows(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in key}
-        cols["__t"] = pa.array(_default_cutoff(batch), type=pa.int64())
+        if cutoff_col is not None:
+            cols["__t"] = batch[cutoff_col].cast(pa.int64())
+        else:
+            cols["__t"] = pa.array(_default_cutoff(batch), type=pa.int64())
         cols["__is_ev"] = pa.array(np.zeros(batch.num_rows, dtype=bool))
         cols["__v"] = pa.nulls(batch.num_rows, type=pa.float64())
         for n_, t_ in payload_cols:
