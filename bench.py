@@ -1,0 +1,177 @@
+"""Benchmark harness (driver contract + local feedback loop).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
+   "segments_per_sec": ...}
+
+Headline: end-to-end token-segmentation throughput (the north rule's
+segments/sec) over a deterministic synthetic token table sized from the
+$GRAFT_SF_DIR scale, running the flagship pipelines:
+  - rows:     stateless frame segmentation + aggregate family -> parquet
+              (zero shuffle; the 10^12-independent-sequences shape)
+  - sessions: sessionize (hash shuffle) + chunked streaming segmentation
+  - asof:     broadcast point-in-time backfill over the emitted windows
+
+`python bench.py --scaling` runs the headline in two FRESH processes at
+num_cpus=8 and 32 and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = os.environ.get("TOKWIN_BENCH_CACHE", "/tmp/tokwin_bench")
+
+
+def _sf_scale() -> float:
+    # scale synthetic token-table size off the sf dir's lineitem rows
+    import pyarrow.parquet as pq
+
+    try:
+        n = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
+    except Exception:
+        n = 600_000
+    return n / 600_000.0
+
+
+def _bench_input(scale: float) -> str:
+    n_rows = max(20_000, int(400_000 * scale))
+    path = os.path.join(CACHE, f"tokens_{n_rows}_seed42.parquet")
+    if not os.path.exists(path):
+        from podcast_audio_feature_extraction_ray import fixtures
+
+        tbl = fixtures.token_table(n_rows, n_docs=max(200, n_rows // 50), seed=42)
+        fixtures.write_fixture(tbl, path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from podcast_audio_feature_extraction_ray import fixtures
+    from podcast_audio_feature_extraction_ray.config import FRAME_SPEC
+    from podcast_audio_feature_extraction_ray.stages import asof, segment as seg
+
+    scale = _sf_scale()
+    inp = _bench_input(scale)
+    # warm page cache (untimed): measure compute+shuffle, not first disk read
+    rd.read_parquet(inp).count()
+
+    feature_cols = [
+        "doc_id", "source", "win_id", "ts_start", "ts_end",
+        "n_tokens", "n_distinct", "freq_gt", "match_count",
+        "tok_sum", "tok_mean", "tok_std", "tok_max", "tok_min",
+    ]
+    out_root = os.path.join(CACHE, f"out_{NUM_CPUS}")
+    shutil.rmtree(out_root, ignore_errors=True)
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    # --- rows: stateless zero-shuffle path
+    t0 = time.time()
+    ds = rd.read_parquet(inp)
+    win = seg.segment_rows(
+        ds, FRAME_SPEC, key_cols=("doc_id", "source", "seq_no"),
+        with_aggregates=True, emit_tokens=False,
+    )
+    win.write_parquet(os.path.join(out_root, "rows"))
+    timings["rows"] = time.time() - t0
+    import pyarrow.parquet as pq
+    import glob
+
+    counts["rows"] = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out_root, "rows", "*.parquet"))
+    )
+
+    # --- sessions: hash shuffle + chunked streaming segmentation
+    t0 = time.time()
+    ds = rd.read_parquet(inp)
+    win_s = seg.segment_sessions(
+        ds, FRAME_SPEC, with_aggregates=True, emit_tokens=False
+    )
+    win_s.write_parquet(os.path.join(out_root, "sessions"))
+    timings["sessions"] = time.time() - t0
+    counts["sessions"] = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out_root, "sessions", "*.parquet"))
+    )
+
+    # --- asof: broadcast backfill over the rows-path windows
+    t0 = time.time()
+    events = fixtures.event_table(
+        __import__("pyarrow.parquet", fromlist=["pq"]).read_table(inp), rate=1 / 2000.0
+    )
+    win_ds = rd.read_parquet(os.path.join(out_root, "rows"))
+    bf = asof.backfill_broadcast(win_ds, events, key=("doc_id", "source"), concurrency=max(2, NUM_CPUS // 4))
+    counts["asof"] = bf.count()
+    timings["asof"] = time.time() - t0
+
+    headline = timings["rows"] + timings["sessions"] + timings["asof"]
+    segments = counts["rows"] + counts["sessions"] + counts["asof"]
+    result = {
+        "metric": "token window segmentation end-to-end (rows+sessions+asof)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "counts": counts,
+        "segments_per_sec": round(segments / headline, 1),
+        "sf": scale,
+        "num_cpus": NUM_CPUS,
+        "input": inp,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    lo, hi = 8, 32
+    out = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
+    thr_lo = out[lo]["segments_per_sec"]
+    thr_hi = out[hi]["segments_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        "segments_per_sec_8": thr_lo,
+        "segments_per_sec_32": thr_hi,
+        "sec_8": out[lo]["value"],
+        "sec_32": out[hi]["value"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": out[hi]["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -146,6 +146,163 @@ def gather_windows(
     return values[idx], seg_offsets
 
 
+def window_features_stream(
+    values: np.ndarray,
+    sess_bounds: np.ndarray,
+    sess_base_tick: np.ndarray,
+    win_sess: np.ndarray,
+    ts_start: np.ndarray,
+    slice_len: np.ndarray,
+    win_k: np.ndarray,
+    first_k: np.ndarray,
+    win_offset: np.ndarray,
+    width: int,
+    hop: int,
+    gt_threshold: int = 25_000,
+    match_token: int = 13,
+) -> dict[str, np.ndarray]:
+    """Per-window aggregate family computed DIRECTLY on the session value
+    buffer — no window gather, minimal memory traffic.
+
+    Args:
+        values: flat token buffer; sessions tile ``[sess_bounds[0],
+            sess_bounds[-1])`` contiguously in ascending order.
+        sess_bounds: int64[n_sess+1] value-index boundaries per session.
+        sess_base_tick: global tick of each session's first buffered token.
+        win_sess / ts_start / slice_len / win_k: one entry per window, in
+            (session, k) order (``plan_windows`` output).
+        first_k: per session, the k of its first owned window.
+        win_offset: per session, index of its first window in the window
+            arrays (cumulative window counts).
+        width: ticks a full window covers (W for frame, W+1 for segment).
+        hop: H.
+
+    Sums/maxes use interleaved-pairs ``reduceat`` (each window reduced in
+    place over the stream). Distinct counts use the previous-occurrence
+    trick: token position ``i`` is a first-occurrence within window
+    ``[s, e)`` iff ``prev[i] < s`` where ``prev`` is the last earlier
+    position holding the same value; each position then contributes +1 to
+    the contiguous run of windows ``k`` with ``k*H <= tick(i) < k*H+width``
+    and ``k*H > tick(prev)``, accumulated with two bincounts.
+    """
+    n_win = len(ts_start)
+    out: dict[str, np.ndarray] = {"n_tokens": slice_len.astype(np.int64)}
+    if n_win == 0:
+        # column order must match the populated branch exactly
+        z64 = np.zeros(0, dtype=np.int64)
+        zf = np.zeros(0, dtype=np.float64)
+        out["tok_sum"] = z64.copy()
+        out["tok_max"] = z64.copy()
+        out["tok_min"] = z64.copy()
+        out["tok_mean"] = zf
+        out["tok_std"] = zf.copy()
+        out["freq_gt"] = z64.copy()
+        out["match_count"] = z64.copy()
+        out["n_distinct"] = z64.copy()
+        return out
+
+    from podcast_audio_feature_extraction_ray.arena import ARENA
+
+    lo, hi = int(sess_bounds[0]), int(sess_bounds[-1])
+    v = values[lo:hi]
+    m = len(v)
+    rel_bounds = sess_bounds - lo
+    starts = sess_bounds[win_sess] + (ts_start - sess_base_tick[win_sess]) - lo
+    assert slice_len.min() > 0, "empty window emitted — kernel invariant broken"
+
+    # sentinel so reduceat pair-ends may equal len(v); all big scratch is
+    # arena-reused (fresh pages cost 40x here, see arena.py)
+    v_s = ARENA.get("vs", m + 1, v.dtype)
+    np.copyto(v_s[:-1], v)
+    v_s[-1] = 0
+    inter = ARENA.get("inter", 2 * n_win, np.int64)
+    inter[0::2] = starts
+    inter[1::2] = starts + slice_len
+
+    a64 = ARENA.get("a64", m + 1, np.int64)
+    np.copyto(a64, v_s, casting="unsafe")
+    out["tok_sum"] = np.add.reduceat(a64, inter)[::2]
+    out["tok_max"] = np.maximum.reduceat(a64, inter)[::2]
+    out["tok_min"] = np.minimum.reduceat(a64, inter)[::2]
+    np.multiply(a64, a64, out=a64)
+    sqsum = np.add.reduceat(a64, inter)[::2]
+    mean = out["tok_sum"] / out["n_tokens"]
+    out["tok_mean"] = mean
+    out["tok_std"] = np.sqrt(np.maximum(sqsum / out["n_tokens"] - mean * mean, 0.0))
+    bmask = ARENA.get("bmask", m + 1, bool)
+    np.greater(v_s, gt_threshold, out=bmask)
+    out["freq_gt"] = np.add.reduceat(bmask, inter, dtype=np.int64)[::2]
+    np.equal(v_s, match_token, out=bmask)
+    out["match_count"] = np.add.reduceat(bmask, inter, dtype=np.int64)[::2]
+
+    # ---- sliding distinct via previous-occurrence + range-add
+    if m == 0:
+        out["n_distinct"] = np.zeros(n_win, dtype=np.int64)
+        return out
+    if v.min() < 0:
+        raise ValueError("window distinct kernel requires non-negative tokens")
+    comp = a64[:m]
+    np.copyto(comp, v, casting="unsafe")
+    comp <<= np.int64(32)
+    comp += ARENA.iota(m)
+    comp.sort()
+    pos = ARENA.get("pos", m, np.int64)
+    np.bitwise_and(comp, np.int64(0xFFFFFFFF), out=pos)
+    comp >>= np.int64(32)  # comp is now the sorted values
+    prev = ARENA.get("prev", m, np.int64)
+    prev.fill(-1)
+    same = bmask[: m - 1]
+    np.equal(comp[1:], comp[:-1], out=same)
+    prev[pos[1:][same]] = pos[:-1][same]
+
+    # sess_of via boundary-scatter + cumsum (np.repeat allocates)
+    n_sess = len(rel_bounds) - 1
+    sess_of = ARENA.get("sess_of", m, np.int64)
+    sess_of.fill(0)
+    inner = rel_bounds[1:-1]
+    np.add.at(sess_of, inner[inner < m], 1)
+    np.cumsum(sess_of, out=sess_of)
+
+    # tick(i) = i - rel_bounds[sess] + base_tick[sess] = i - C[sess]
+    C = rel_bounds[:-1] - sess_base_tick
+    g = ARENA.get("g", m, np.int64)  # per-element gathered session scalars
+    np.take(C, sess_of, out=g)
+    tick = ARENA.get("tick", m, np.int64)
+    np.subtract(ARENA.iota(m), g, out=tick)
+    # prev_tick: -1 when prev is outside this element's session buffer
+    np.take(rel_bounds[:-1], sess_of, out=g)
+    np.less(prev, g, out=bmask[:m])  # prev outside this session's buffer
+    np.take(C, sess_of, out=g)
+    prev -= g  # prev_tick where valid
+    np.copyto(prev, np.int64(-1), where=bmask[:m])
+
+    # windows (session-level k) containing tick t: k in [ceil((t-width+1)/H), t//H]
+    klo = ARENA.get("klo", m, np.int64)
+    np.subtract(tick, width - 1, out=klo)
+    np.negative(klo, out=klo)
+    np.floor_divide(klo, hop, out=klo)
+    np.negative(klo, out=klo)  # ceil division
+    np.floor_divide(prev, hop, out=prev)
+    prev += 1
+    np.maximum(klo, prev, out=klo)
+    np.take(first_k, sess_of, out=g)
+    np.maximum(klo, g, out=klo)
+    khi = tick
+    np.floor_divide(khi, hop, out=khi)
+    last_k = first_k + np.diff(np.append(win_offset, n_win)) - 1
+    np.take(last_k, sess_of, out=g)
+    np.minimum(khi, g, out=khi)
+    np.less_equal(klo, khi, out=bmask[:m])
+    np.take(win_offset - first_k, sess_of, out=g)
+    klo += g
+    khi += g
+    ok = bmask[:m]
+    d = np.bincount(klo[ok], minlength=n_win + 1)[: n_win + 1].astype(np.int64)
+    d -= np.bincount(khi[ok] + 1, minlength=n_win + 1)[: n_win + 1]
+    out["n_distinct"] = np.cumsum(d[:n_win])
+    return out
+
+
 def window_aggregates(
     seg_values: np.ndarray,
     seg_offsets: np.ndarray,

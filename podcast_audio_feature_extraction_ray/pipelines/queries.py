@@ -50,7 +50,9 @@ def w1_frame_windows(sf_dir: str):
 def w2_chunked_frame_windows(sf_dir: str):
     """W2: chunked streaming with hop-aligned cuts + bounded lookahead —
     identical output to W1 (reference ``src/features/YAMNetExtractor.py:78-95``)."""
-    return seg.segment_sessions(_tokens(sf_dir), FRAME_Q, chunk_ticks=64).select_columns(WIN_COLS)
+    return seg.segment_sessions(
+        _tokens(sf_dir), FRAME_Q, chunk_ticks=64, impl="groups"
+    ).select_columns(WIN_COLS)
 
 
 def w3_segment_windows(sf_dir: str):

@@ -53,17 +53,21 @@ def _emit_windows(
     is_final: np.ndarray | None = None,
     avail_len: np.ndarray | None = None,
     with_aggregates: bool = False,
+    emit_tokens: bool = True,
     lag: int = 0,
     lead: int = 0,
     gt_threshold: int = 25_000,
     match_token: int = 13,
 ) -> pa.Table:
-    """Shared window-emission: plan, gather, aggregate, assemble Arrow."""
+    """Shared window-emission: plan, (optionally) gather, aggregate.
+
+    ``emit_tokens=False`` skips materializing the ``seg_tokens`` list
+    column — the features-only mode matching the reference's output shape
+    (features, not raw windows; ``OpenSmileExtractor.py:47-54``) — and
+    aggregates are then computed with zero window gather.
+    """
     row_idx, win_id, ts_start, slice_len = kernels.plan_windows(
         row_value_len, spec, base_tick=row_base_tick, is_final=is_final, avail_len=avail_len
-    )
-    seg_values, seg_offsets = kernels.gather_windows(
-        values, row_value_start, row_base_tick, row_idx, ts_start, slice_len
     )
     cols: dict[str, object] = {}
     take_idx = pa.array(row_idx)
@@ -75,10 +79,44 @@ def _emit_windows(
     cols["win_id"] = pa.array(win_id, type=pa.int64())
     cols["ts_start"] = pa.array(ts_start, type=pa.int64())
     cols["ts_end"] = pa.array(ts_start + slice_len, type=pa.int64())
-    cols["seg_tokens"] = list_array(seg_values, seg_offsets)
+    if emit_tokens:
+        seg_values, seg_offsets = kernels.gather_windows(
+            values, row_value_start, row_base_tick, row_idx, ts_start, slice_len
+        )
+        cols["seg_tokens"] = list_array(seg_values, seg_offsets)
     if with_aggregates:
-        aggs = kernels.window_aggregates(
-            seg_values, seg_offsets, gt_threshold=gt_threshold, match_token=match_token
+        n_rows = len(row_value_len)
+        # rows must tile the buffer contiguously in ascending order — true
+        # for all three segmenter paths (Arrow list rows share offsets).
+        buf_len = avail_len if avail_len is not None else row_value_len
+        sess_bounds = np.empty(n_rows + 1, dtype=np.int64)
+        sess_bounds[:-1] = row_value_start
+        sess_bounds[-1] = (
+            row_value_start[-1] + np.asarray(buf_len, dtype=np.int64)[-1]
+            if n_rows
+            else 0
+        )
+        n_per_row = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+        win_offset = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(n_per_row[:-1], out=win_offset[1:])
+        first_k = np.zeros(n_rows, dtype=np.int64)
+        has = n_per_row > 0
+        first_k[has] = win_id[win_offset[has]]
+        width = spec.window if spec.mode == "frame" else spec.window + 1
+        aggs = kernels.window_features_stream(
+            values,
+            sess_bounds=sess_bounds,
+            sess_base_tick=np.asarray(row_base_tick, dtype=np.int64),
+            win_sess=row_idx,
+            ts_start=ts_start,
+            slice_len=slice_len,
+            win_k=win_id,
+            first_k=first_k,
+            win_offset=win_offset,
+            width=width,
+            hop=spec.hop,
+            gt_threshold=gt_threshold,
+            match_token=match_token,
         )
         for name, arr in aggs.items():
             cols[name] = pa.array(arr)
@@ -183,18 +221,100 @@ def _session_group_fn(
     return pa.concat_tables(outs)
 
 
+def _segment_sorted_block(
+    block: pa.Table, spec: WindowSpec, session_key: tuple, opts: dict
+) -> pa.Table:
+    """Segment EVERY session in a key-sorted block with one vectorized pass.
+
+    Sessions are detected by adjacent-key change; because Arrow list rows
+    are contiguous in the child values buffer, each session's token stream
+    is already a contiguous span — no concatenation, no per-session loop.
+    """
+    n = block.num_rows
+    if n == 0:
+        return _emit_windows(
+            block, list(session_key),
+            np.empty(0, np.int32), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.int64), spec, **opts,
+        )
+    start = np.zeros(n, dtype=bool)
+    start[0] = True
+    for c in session_key:
+        col = block[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        neq = pa.compute.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        start[1:] |= neq.astype(bool)
+    first_rows = np.flatnonzero(start)
+    values, offsets = list_buffers(block["tokens"])
+    row_len = np.diff(offsets)
+    sess_val_start = offsets[:-1][first_rows]
+    bounds = np.append(first_rows, n)
+    sess_len = offsets[bounds[1:]] - offsets[bounds[:-1]]
+    key_tbl = block.select(list(session_key)).take(pa.array(first_rows))
+    return _emit_windows(
+        key_tbl, list(session_key), values,
+        row_value_start=sess_val_start,
+        row_value_len=sess_len,
+        row_base_tick=np.zeros(len(first_rows), dtype=np.int64),
+        spec=spec,
+        **opts,
+    )
+
+
 def segment_sessions(
     ds,
     spec: WindowSpec,
     session_key=("doc_id", "source"),
     order_key=("seq_no",),
     chunk_ticks: int | None = 1_048_576,
+    num_buckets: int = 128,
+    impl: str = "bucket",
     **opts,
 ):
-    """Multi-row sessionize + segment (paths 2/3): one hash shuffle."""
-    sk, ok, ct = tuple(session_key), tuple(order_key), chunk_ticks
+    """Multi-row sessionize + segment: one hash shuffle, two impls.
 
-    def fn(group: pa.Table) -> pa.Table:
-        return _session_group_fn(group, spec, sk, ok, ct, opts)
+    - ``impl="bucket"`` (default, the scale path): hash each session key
+      into one of ``num_buckets`` buckets, shuffle by bucket, sort each
+      bucket block by ``(session_key..., order_key...)`` and run ONE
+      vectorized kernel over all its sessions. Python overhead is
+      O(num_buckets), not O(num_sessions).
+    - ``impl="groups"``: one task per session with the chunked streaming
+      loop (bounded ``chunk_ticks + lookahead`` kernel memory — the W2
+      analog for monster sessions; reference
+      ``src/features/YAMNetExtractor.py:78-95``).
+    """
+    sk, ok = tuple(session_key), tuple(order_key)
 
-    return ds.groupby(list(sk)).map_groups(fn, batch_format="pyarrow")
+    if impl == "groups":
+        ct = chunk_ticks
+
+        def fn(group: pa.Table) -> pa.Table:
+            return _session_group_fn(group, spec, sk, ok, ct, opts)
+
+        return ds.groupby(list(sk)).map_groups(fn, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in sk:
+            h ^= pd.util.hash_pandas_object(
+                pd.Series(batch[c].to_pandas()), index=False
+            ).to_numpy(dtype=np.uint64)
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group.select(list(sk) + list(ok)),
+            sort_keys=[(c, "ascending") for c in (*sk, *ok)],
+        )
+        block = group.take(order).drop_columns(["__bucket"])
+        return _segment_sorted_block(block, spec, sk, opts)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")

@@ -59,7 +59,19 @@ def test_chunked_equals_unchunked(tiny_tokens, tiny_df, chunk_ticks):
     for spec in (WindowSpec(16, 8, "frame"), WindowSpec(24, 12, "segment")):
         ds = rd.from_arrow(tiny_tokens)
         got = seg.segment_sessions(
-            ds, spec, chunk_ticks=chunk_ticks, with_aggregates=True
+            ds, spec, chunk_ticks=chunk_ticks, impl="groups", with_aggregates=True
+        ).to_pandas()
+        want = oracle.oracle_segment(tiny_df, spec)
+        assert_windows_equal(got, want)
+
+
+@pytest.mark.parametrize("num_buckets", [1, 7, 128])
+def test_bucket_impl_matches_oracle(tiny_tokens, tiny_df, num_buckets):
+    """Bucketed vectorized sessionize+segment (the scale path)."""
+    for spec in (WindowSpec(16, 8, "frame"), WindowSpec(24, 12, "segment")):
+        ds = rd.from_arrow(tiny_tokens)
+        got = seg.segment_sessions(
+            ds, spec, num_buckets=num_buckets, with_aggregates=True
         ).to_pandas()
         want = oracle.oracle_segment(tiny_df, spec)
         assert_windows_equal(got, want)
