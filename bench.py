@@ -77,7 +77,8 @@ def run_bench() -> dict:
     scale = _sf_scale()
     inp = _bench_input(scale)
     # warm page cache (untimed): measure compute+shuffle, not first disk read
-    rd.read_parquet(inp).count()
+    nblocks = 2 * NUM_CPUS  # ~2 tasks per core: enough parallelism, low dispatch overhead
+    rd.read_parquet(inp, override_num_blocks=nblocks).count()
 
     feature_cols = [
         "doc_id", "source", "win_id", "ts_start", "ts_end",
@@ -91,7 +92,7 @@ def run_bench() -> dict:
 
     # --- rows: stateless zero-shuffle path
     t0 = time.time()
-    ds = rd.read_parquet(inp)
+    ds = rd.read_parquet(inp, override_num_blocks=nblocks)
     win = seg.segment_rows(
         ds, FRAME_SPEC, key_cols=("doc_id", "source", "seq_no"),
         with_aggregates=True, emit_tokens=False,
@@ -108,7 +109,7 @@ def run_bench() -> dict:
 
     # --- sessions: hash shuffle + chunked streaming segmentation
     t0 = time.time()
-    ds = rd.read_parquet(inp)
+    ds = rd.read_parquet(inp, override_num_blocks=nblocks)
     win_s = seg.segment_sessions(
         ds, FRAME_SPEC, with_aggregates=True, emit_tokens=False
     )

@@ -35,5 +35,14 @@ class Arena:
             self._bufs[key] = buf
         return buf[:n]
 
+    def iota32(self, n: int) -> np.ndarray:
+        """Cached ascending int32 [0..n) — read-only by convention."""
+        key = ("__iota32", np.dtype(np.int32))
+        buf = self._bufs.get(key)
+        if buf is None or len(buf) < n:
+            buf = np.arange(int(n * 5 // 4) + 16, dtype=np.int32)
+            self._bufs[key] = buf
+        return buf[:n]
+
 
 ARENA = Arena()

@@ -109,9 +109,12 @@ def bench_table(n_rows: int = 2_000_000, n_docs: int = 50_000, seed: int = 42) -
     return token_table(n_rows, n_docs=n_docs, seed=seed)
 
 
-def write_fixture(table: pa.Table, path: str, rows_per_file: int = 250_000) -> None:
+def write_fixture(table: pa.Table, path: str, rows_per_group: int = 8_192) -> None:
+    """Write with small row groups: Ray Data parallelizes parquet reads at
+    row-group granularity, and every downstream map task works one block —
+    a 2-row-group file caps the whole pipeline at 2 tasks."""
     import pyarrow.parquet as pq
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(table, path, row_group_size=rows_per_file)
+    pq.write_table(table, path, row_group_size=rows_per_group)

@@ -219,12 +219,12 @@ def window_features_stream(
     inter[0::2] = starts
     inter[1::2] = starts + slice_len
 
+    out["tok_sum"] = np.add.reduceat(v_s, inter, dtype=np.int64)[::2]
+    out["tok_max"] = np.maximum.reduceat(v_s, inter)[::2].astype(np.int64)
+    out["tok_min"] = np.minimum.reduceat(v_s, inter)[::2].astype(np.int64)
     a64 = ARENA.get("a64", m + 1, np.int64)
     np.copyto(a64, v_s, casting="unsafe")
-    out["tok_sum"] = np.add.reduceat(a64, inter)[::2]
-    out["tok_max"] = np.maximum.reduceat(a64, inter)[::2]
-    out["tok_min"] = np.minimum.reduceat(a64, inter)[::2]
-    np.multiply(a64, a64, out=a64)
+    np.multiply(a64, a64, out=a64)  # square in int64 (int32*int32 overflows)
     sqsum = np.add.reduceat(a64, inter)[::2]
     mean = out["tok_sum"] / out["n_tokens"]
     out["tok_mean"] = mean
@@ -246,54 +246,57 @@ def window_features_stream(
     comp <<= np.int64(32)
     comp += ARENA.iota(m)
     comp.sort()
-    pos = ARENA.get("pos", m, np.int64)
-    np.bitwise_and(comp, np.int64(0xFFFFFFFF), out=pos)
+    # int32 intermediates from here on: m, ticks, window counts all < 2^31,
+    # halving memory traffic (this host is DRAM-bandwidth bound)
+    pos = ARENA.get("pos", m, np.int32)
+    np.copyto(pos, comp.view(np.int32)[::2])  # little-endian low words
     comp >>= np.int64(32)  # comp is now the sorted values
-    prev = ARENA.get("prev", m, np.int64)
+    prev = ARENA.get("prev", m, np.int32)
     prev.fill(-1)
     same = bmask[: m - 1]
     np.equal(comp[1:], comp[:-1], out=same)
     prev[pos[1:][same]] = pos[:-1][same]
 
     # sess_of via boundary-scatter + cumsum (np.repeat allocates)
-    n_sess = len(rel_bounds) - 1
-    sess_of = ARENA.get("sess_of", m, np.int64)
+    sess_of = ARENA.get("sess_of", m, np.int32)
     sess_of.fill(0)
     inner = rel_bounds[1:-1]
     np.add.at(sess_of, inner[inner < m], 1)
     np.cumsum(sess_of, out=sess_of)
 
     # tick(i) = i - rel_bounds[sess] + base_tick[sess] = i - C[sess]
-    C = rel_bounds[:-1] - sess_base_tick
-    g = ARENA.get("g", m, np.int64)  # per-element gathered session scalars
-    np.take(C, sess_of, out=g)
-    tick = ARENA.get("tick", m, np.int64)
-    np.subtract(ARENA.iota(m), g, out=tick)
+    C32 = (rel_bounds[:-1] - sess_base_tick).astype(np.int32)
+    rel32 = rel_bounds[:-1].astype(np.int32)
+    g = ARENA.get("g", m, np.int32)  # per-element gathered session scalars
+    np.take(C32, sess_of, out=g)
+    tick = ARENA.get("tick", m, np.int32)
+    np.subtract(ARENA.iota32(m), g, out=tick)
     # prev_tick: -1 when prev is outside this element's session buffer
-    np.take(rel_bounds[:-1], sess_of, out=g)
+    np.take(rel32, sess_of, out=g)
     np.less(prev, g, out=bmask[:m])  # prev outside this session's buffer
-    np.take(C, sess_of, out=g)
+    np.take(C32, sess_of, out=g)
     prev -= g  # prev_tick where valid
-    np.copyto(prev, np.int64(-1), where=bmask[:m])
+    np.copyto(prev, np.int32(-1), where=bmask[:m])
 
     # windows (session-level k) containing tick t: k in [ceil((t-width+1)/H), t//H]
-    klo = ARENA.get("klo", m, np.int64)
-    np.subtract(tick, width - 1, out=klo)
+    klo = ARENA.get("klo", m, np.int32)
+    np.subtract(tick, np.int32(width - 1), out=klo)
     np.negative(klo, out=klo)
-    np.floor_divide(klo, hop, out=klo)
+    np.floor_divide(klo, np.int32(hop), out=klo)
     np.negative(klo, out=klo)  # ceil division
-    np.floor_divide(prev, hop, out=prev)
-    prev += 1
+    np.floor_divide(prev, np.int32(hop), out=prev)
+    prev += np.int32(1)
     np.maximum(klo, prev, out=klo)
-    np.take(first_k, sess_of, out=g)
+    fk32 = first_k.astype(np.int32)
+    np.take(fk32, sess_of, out=g)
     np.maximum(klo, g, out=klo)
     khi = tick
-    np.floor_divide(khi, hop, out=khi)
-    last_k = first_k + np.diff(np.append(win_offset, n_win)) - 1
+    np.floor_divide(khi, np.int32(hop), out=khi)
+    last_k = (first_k + np.diff(np.append(win_offset, n_win)) - 1).astype(np.int32)
     np.take(last_k, sess_of, out=g)
     np.minimum(khi, g, out=khi)
     np.less_equal(klo, khi, out=bmask[:m])
-    np.take(win_offset - first_k, sess_of, out=g)
+    np.take((win_offset - first_k).astype(np.int32), sess_of, out=g)
     klo += g
     khi += g
     ok = bmask[:m]
