@@ -47,6 +47,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g7_disapproval_metric": q.g7_disapproval_metric,
         "g4_thresholded_freq": q.g4_thresholded_freq,
         "q1_agg": q.q1_agg,
+        # training-data pipeline operators
+        "dedup_exact": q.dedup_exact,
+        "dedup_ngram_jaccard": q.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q.dedup_minhash_lsh,   # rows-only
+        "dedup_simhash": q.dedup_simhash,           # rows-only
+        "ann_cosine_topk": q.ann_cosine_topk,
+        "ann_lsh_topk": q.ann_lsh_topk,             # rows-only
+        "emb_neardup_toppairs": q.emb_neardup_toppairs,
+        "lang_quality": q.lang_quality,
+        "token_count": q.token_count,
+        "doc_fingerprint": q.doc_fingerprint,       # rows-only
+        "multimodal_decode": q.multimodal_decode,   # rows-only (stub decode)
     }
 
 

@@ -391,3 +391,113 @@ def q1_agg(sf_dir: str):
             Sum("n", alias_name="n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------- dedup family
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup groups by content hash."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.exact_dedup(docs)
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    """Exact within-block n-gram Jaccard near-dup pairs (integer threshold)."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return dedup.ngram_jaccard_pairs(docs, thresh_num=1, thresh_den=5)
+
+
+def dedup_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup candidates (rows-only: banding is not
+    SQL-expressible; conformance via the loop oracle in tests)."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(docs, est_threshold=0.5)
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs, hamming <= 3 (rows-only)."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.simhash_pairs(docs)
+
+
+# ---------------------------------------------------------------- similarity search
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], 4))
+    q = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+    return q, t["vec_id"].to_numpy(zero_copy_only=False)
+
+
+def ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-5 for 4 query vectors (broadcast matmul)."""
+    from podcast_audio_feature_extraction_ray.stages import ann
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    return ann.cosine_topk(emb, q, qids, k=5)
+
+
+def ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate top-5 (rows-only; recall tested vs brute)."""
+    from podcast_audio_feature_extraction_ray.stages import ann
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    return ann.lsh_bucketed_topk(emb, q, qids, k=5)
+
+
+def emb_neardup_toppairs(sf_dir: str):
+    """Per-label top-3 most-similar embedding pairs."""
+    from podcast_audio_feature_extraction_ray.stages import ann
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    return ann.neardup_toppairs(emb, top_n=3)
+
+
+# ---------------------------------------------------------------- text analysis
+
+def lang_quality(sf_dir: str):
+    from podcast_audio_feature_extraction_ray.stages import text as t
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return t.lang_quality(docs)
+
+
+def token_count(sf_dir: str):
+    from podcast_audio_feature_extraction_ray.stages import text as t
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return t.token_count(docs)
+
+
+def doc_fingerprint(sf_dir: str):
+    """Winnowing rolling-hash fingerprints (rows-only)."""
+    from podcast_audio_feature_extraction_ray.stages import text as t
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return t.doc_fingerprint(docs)
+
+
+# ---------------------------------------------------------------- multimodal (stubbed decode)
+
+def multimodal_decode(sf_dir: str):
+    """Binary payload plumbing + stubbed actor-pool decode (rows-only)."""
+    from podcast_audio_feature_extraction_ray.stages import multimodal as mm
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return mm.decode_media(mm.attach_fake_payload(docs))

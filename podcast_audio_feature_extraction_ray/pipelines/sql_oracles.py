@@ -223,3 +223,114 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
+
+SQL["dedup_exact"] = """
+SELECT md5(text) AS text_hash,
+       cast(count(*) AS bigint) AS n_dups,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+SQL["dedup_ngram_jaccard"] = """
+WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS s FROM documents),
+g AS (
+  SELECT doc_id, source,
+         list_distinct(CASE
+           WHEN len(s) >= 3 THEN list_transform(generate_series(1, len(s) - 2),
+                                  i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+           WHEN length(text) = 0 THEN []
+           ELSE [array_to_string(s, ' ')] END) AS gs
+  FROM w
+),
+p AS (
+  SELECT a.source AS source, a.doc_id AS a, b.doc_id AS b,
+         cast(len(list_intersect(a.gs, b.gs)) AS bigint) AS inter_n,
+         cast(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS bigint) AS union_n
+  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT source, a, b, inter_n, union_n
+FROM p WHERE inter_n > 0 AND 5 * inter_n >= 1 * union_n
+"""
+
+_EMB_LONG = """
+el AS (
+  SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+nn AS (
+  SELECT vec_id, sqrt(sum(cast(v AS double) * cast(v AS double))) AS nrm
+  FROM el GROUP BY vec_id
+)
+"""
+
+SQL["ann_cosine_topk"] = f"""
+WITH {_EMB_LONG},
+d AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         sum(cast(q.v AS double) * cast(e.v AS double)) AS dot
+  FROM el q JOIN el e ON q.i = e.i
+  WHERE q.vec_id < 4
+  GROUP BY q.vec_id, e.vec_id
+),
+s AS (
+  SELECT d.query_id, d.vec_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS score
+  FROM d JOIN nn na ON na.vec_id = d.query_id
+         JOIN nn nb ON nb.vec_id = d.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, score, cast(rank AS bigint) AS rank FROM r WHERE rank <= 5
+"""
+
+SQL["emb_neardup_toppairs"] = f"""
+WITH {_EMB_LONG},
+d AS (
+  SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b,
+         sum(cast(a.v AS double) * cast(b.v AS double)) AS dot
+  FROM el a JOIN el b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.label, a.vec_id, b.vec_id
+),
+s AS (
+  SELECT d.label, d.a, d.b,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS s_r
+  FROM d JOIN nn na ON na.vec_id = d.a JOIN nn nb ON nb.vec_id = d.b
+),
+r AS (
+  SELECT label, a, b, s_r,
+         row_number() OVER (PARTITION BY label ORDER BY s_r DESC, a, b) AS rn
+  FROM s
+)
+SELECT label, a, b, s_r FROM r WHERE rn <= 3
+"""
+
+_STOP_SQL = "('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by')"
+
+SQL["lang_quality"] = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+a AS (
+  SELECT doc_id,
+         cast(len(s) AS bigint) AS n_words,
+         cast(len(list_filter(s, x -> x IN {_STOP_SQL})) AS bigint) AS n_stop,
+         cast(len(list_filter(s, x -> regexp_full_match(x, '[a-z]+'))) AS bigint) AS n_alpha,
+         cast(list_aggregate(list_transform(s, x -> length(x)), 'sum') AS bigint) AS sum_len
+  FROM w
+)
+SELECT doc_id, n_words, n_stop,
+       n_stop / n_words AS stop_ratio,
+       n_alpha,
+       sum_len / n_words AS mean_word_len,
+       (n_stop / n_words) > 0.09 AS is_en
+FROM a
+"""
+
+SQL["token_count"] = r"""
+SELECT doc_id,
+       cast(len(string_split(text, ' ')) AS bigint) AS n_ws_tokens,
+       cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bigint) AS n_re_tokens
+FROM documents
+"""

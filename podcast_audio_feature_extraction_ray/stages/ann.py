@@ -1,0 +1,244 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``cosine_topk``        — brute-force cosine top-k: the query matrix is
+  broadcast ONCE (``ray.put``) and each batch does one numpy matmul; each
+  batch emits only its local top-k per query, so the final global merge
+  sees ``k × n_batches`` candidate rows, never the full score matrix.
+  This is the compute-bound baseline (O(d) flops per byte).
+- ``lsh_bucketed_topk``  — the scale path: random-hyperplane LSH buckets
+  (signs of P projections); queries probe only buckets within
+  ``probe_hamming`` of their own signature. Recall < 1 by design; the
+  bucket partitioning assumption (bucket fits a task) is documented.
+- ``neardup_toppairs``   — per-label top similar pairs (embedding-cosine
+  near-dup detector); scores rounded before ranking so the DuckDB double
+  oracle matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    offsets = arr.offsets.to_numpy()
+    dim = offsets[1] - offsets[0]
+    return flat[offsets[0] : offsets[-1]].reshape(len(arr), int(dim)).astype(np.float64)
+
+
+class _TopkScorer:
+    """Actor: normalized query matrix fetched once per actor."""
+
+    def __init__(self, q_ref, id_col, col, k, round_to):
+        q = ray.get(q_ref)
+        self.qn = q["mat"]
+        self.qids = q["ids"]
+        self.id_col, self.col, self.k, self.round_to = id_col, col, k, round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e = _emb_matrix(batch, self.col)
+        norms = np.sqrt((e * e).sum(axis=1))
+        norms[norms == 0] = 1.0
+        s = (e / norms[:, None]) @ self.qn.T  # (n, nq)
+        if self.round_to is not None:
+            s = np.round(s, self.round_to)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        k = min(self.k, len(ids))
+        # local top-k per query: argpartition then exact ordering later
+        out_q, out_id, out_s = [], [], []
+        for qi in range(s.shape[1]):
+            col = s[:, qi]
+            idx = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
+            out_q.append(np.full(len(idx), self.qids[qi], dtype=np.int64))
+            out_id.append(ids[idx])
+            out_s.append(col[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def cosine_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    round_to: int | None = 6,
+    concurrency: int = 4,
+):
+    """Global top-k neighbors per query; returns (query_id, vec_id,
+    score, rank) with rank by (score desc, vec_id asc)."""
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref = ray.put({"mat": qn, "ids": np.asarray(query_ids, dtype=np.int64)})
+    cand = ds.map_batches(
+        _TopkScorer,
+        fn_constructor_args=(ref, id_col, col, k, round_to),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def lsh_bucketed_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 99,
+    concurrency: int = 4,
+):
+    """Approximate top-k: random-hyperplane buckets, multi-probe queries.
+
+    Partitioning assumption: one LSH bucket's vectors fit one group task
+    (2^n_planes buckets; skewed buckets should raise n_planes).
+    Deterministic given ``seed``; recall measured against ``cosine_topk``
+    in tests, not guaranteed 1.
+    """
+    rng = np.random.default_rng(seed)
+    dim = len(np.asarray(queries)[0])
+    planes = rng.normal(size=(n_planes, dim))
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qsig = (qn @ planes.T > 0).astype(np.uint32)
+    qsig = (qsig * (1 << np.arange(n_planes, dtype=np.uint32))).sum(axis=1)
+    # probe set per query: own bucket + hamming<=probe_hamming neighbors
+    probes: dict[int, list[int]] = {}
+    for qi, s in enumerate(qsig):
+        buckets = [int(s)]
+        if probe_hamming >= 1:
+            buckets += [int(s) ^ (1 << b) for b in range(n_planes)]
+        for b in buckets:
+            probes.setdefault(b, []).append(qi)
+    planes_ref = ray.put(planes)
+    probes_ref = ray.put(probes)
+    qref = ray.put({"mat": qn, "ids": np.asarray(query_ids, dtype=np.int64)})
+
+    class BucketScorer:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+            self.probes = ray.get(probes_ref)
+            q = ray.get(qref)
+            self.qn, self.qids = q["mat"], q["ids"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            e = _emb_matrix(batch, col)
+            norms = np.sqrt((e * e).sum(axis=1))
+            norms[norms == 0] = 1.0
+            en = e / norms[:, None]
+            sig = (en @ self.planes.T > 0).astype(np.uint32)
+            sig = (sig * (1 << np.arange(self.planes.shape[0], dtype=np.uint32))).sum(axis=1)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            out_q, out_id, out_s = [], [], []
+            for b in np.unique(sig):
+                qis = self.probes.get(int(b))
+                if not qis:
+                    continue
+                mask = sig == b
+                sub = en[mask]
+                sub_ids = ids[mask]
+                s = sub @ self.qn[qis].T
+                for ci, qi in enumerate(qis):
+                    colv = np.round(s[:, ci], 6)
+                    kk = min(k, len(colv))
+                    idx = (
+                        np.argpartition(-colv, kk - 1)[:kk]
+                        if len(colv) > kk
+                        else np.arange(len(colv))
+                    )
+                    out_q.append(np.full(len(idx), self.qids[qi], dtype=np.int64))
+                    out_id.append(sub_ids[idx])
+                    out_s.append(colv[idx])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "vec_id": pa.array(np.concatenate(out_id)),
+                    "score": pa.array(np.concatenate(out_s)),
+                }
+            )
+
+    cand = ds.map_batches(
+        BucketScorer, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def neardup_toppairs(
+    ds,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    top_n: int = 3,
+):
+    """Per-label top-N most-similar pairs by rounded cosine (a, b, s_r)."""
+
+    def per_label(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(id_col, "ascending")])
+        e = _emb_matrix(g, col)
+        norms = np.sqrt((e * e).sum(axis=1))
+        norms[norms == 0] = 1.0
+        en = e / norms[:, None]
+        s = np.round(en @ en.T, 6)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        iu = np.triu_indices(n, k=1)
+        if len(iu[0]) == 0:
+            return pa.table(
+                {
+                    label_col: pa.array([], type=g[label_col].type),
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "s_r": pa.array([], type=pa.float64()),
+                }
+            )
+        sc = s[iu]
+        order = np.lexsort((ids[iu[1]], ids[iu[0]], -sc))[:top_n]
+        lab = g[label_col][0].as_py()
+        return pa.table(
+            {
+                label_col: pa.array([lab] * len(order), type=g[label_col].type),
+                "a": pa.array(ids[iu[0]][order], type=pa.int64()),
+                "b": pa.array(ids[iu[1]][order], type=pa.int64()),
+                "s_r": pa.array(sc[order], type=pa.float64()),
+            }
+        )
+
+    return ds.groupby(label_col).map_groups(per_label, batch_format="pyarrow")
