@@ -76,9 +76,15 @@ def run_bench() -> dict:
 
     scale = _sf_scale()
     inp = _bench_input(scale)
-    # warm page cache (untimed): measure compute+shuffle, not first disk read
+    # warm-up (untimed): spins up the worker pool, warms per-worker scratch
+    # arenas and the OS page cache — a long-running cluster job is warm, and
+    # we measure compute + shuffle, not process cold-start.
     nblocks = 2 * NUM_CPUS  # ~2 tasks per core: enough parallelism, low dispatch overhead
-    rd.read_parquet(inp, override_num_blocks=nblocks).count()
+    seg.segment_rows(
+        rd.read_parquet(inp, override_num_blocks=nblocks),
+        FRAME_SPEC, key_cols=("doc_id", "source", "seq_no"),
+        with_aggregates=True, emit_tokens=False,
+    ).count()
 
     feature_cols = [
         "doc_id", "source", "win_id", "ts_start", "ts_end",

@@ -84,25 +84,44 @@ def _attach_batch_grouped(
 
 
 class _BroadcastBackfill:
-    """Actor-pool stage: event index fetched once per actor (A1-A5 pattern,
-    reference ``src/features/OpenSmileExtractor.py:21-27``)."""
+    """Actor-pool stage: event index fetched ONCE per actor (A1-A5 pattern,
+    reference ``src/features/OpenSmileExtractor.py:21-27``) and compiled to
+    a single composite-key sorted array, so each batch is resolved with ONE
+    ``np.searchsorted`` — no per-key loop."""
+
+    _BIG = np.int64(1) << 42  # event/window ticks < 2^42
 
     def __init__(self, events_ref, key_cols, ts_col, value_col, cutoff_from):
         ev: pd.DataFrame = ray.get(events_ref)
         self.key_cols = tuple(key_cols)
         self.cutoff_from = cutoff_from
-        self.index = {}
-        for k, g in ev.groupby(list(key_cols), sort=False):
-            k = k if isinstance(k, tuple) else (k,)
-            g = g.sort_values(ts_col, kind="mergesort")
-            self.index[k] = (
-                g[ts_col].to_numpy(dtype=np.int64),
-                g[value_col].to_numpy(dtype=np.float64),
-            )
+        ev = ev.sort_values([*key_cols, ts_col], kind="mergesort")
+        keys = pd.MultiIndex.from_frame(ev[list(key_cols)])
+        codes, uniques = pd.factorize(keys)
+        self.key_index = pd.Index(uniques)
+        self.ev_ts = ev[ts_col].to_numpy(dtype=np.int64)
+        self.ev_val = ev[value_col].to_numpy(dtype=np.float64)
+        self.ev_comp = codes.astype(np.int64) * self._BIG + self.ev_ts
+        # per-code start offsets to validate hits stay inside the key's span
+        self.code_start = np.searchsorted(
+            codes.astype(np.int64), np.arange(len(uniques), dtype=np.int64)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cutoff = self.cutoff_from(batch)
-        return _attach_batch_grouped(batch, self.key_cols, cutoff, self.index.get)
+        n = batch.num_rows
+        cutoff = np.asarray(self.cutoff_from(batch), dtype=np.int64)
+        keys = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in self.key_cols])
+        code = self.key_index.get_indexer(keys).astype(np.int64)  # -1 = unknown key
+        target = code * self._BIG + np.minimum(cutoff, self._BIG - 1)
+        pos = np.searchsorted(self.ev_comp, target, side="right") - 1
+        known = code >= 0
+        safe_code = np.where(known, code, 0)
+        valid = known & (pos >= 0) & (pos >= self.code_start[safe_code])
+        safe = np.where(valid, pos, 0)
+        cols = {c: batch[c] for c in batch.column_names}
+        cols["bf_value"] = pa.array(self.ev_val[safe], mask=~valid)
+        cols["bf_ts"] = pa.array(self.ev_ts[safe], mask=~valid)
+        return pa.table(cols)
 
 
 def _default_cutoff(batch: pa.Table) -> np.ndarray:

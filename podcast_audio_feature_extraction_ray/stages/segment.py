@@ -264,6 +264,41 @@ def _segment_sorted_block(
     )
 
 
+def _hot_session_index(ds, sk, ok, threshold_ticks: int):
+    """Metadata-only pass: per-row start ticks for sessions larger than
+    ``threshold_ticks``. Only tiny columns (keys + n_tok) are shuffled —
+    the hot-key index this returns is broadcast, never re-shipped per
+    batch (SURVEY §7.4.3 hot-doc splitting)."""
+    import pandas as pd
+
+    meta = ds.select_columns([*sk, *ok, "n_tok"])
+
+    def per_session(group: pd.DataFrame) -> pd.DataFrame:
+        total = int(group["n_tok"].sum())
+        if total <= threshold_ticks:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=group[c].dtype) for c in [*sk, *ok, "n_tok"]}
+                | {"start_tick": pd.Series(dtype=np.int64)}
+            )
+        g = group.sort_values(list(ok), kind="mergesort").copy()
+        g["start_tick"] = np.concatenate(
+            [[0], np.cumsum(g["n_tok"].to_numpy(dtype=np.int64))[:-1]]
+        )
+        return g[[*sk, *ok, "n_tok", "start_tick"]]
+
+    hot = meta.groupby(list(sk)).map_groups(per_session, batch_format="pandas").to_pandas()
+    index: dict = {}
+    if len(hot):
+        for key, g in hot.groupby(list(sk), sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            g = g.sort_values(list(ok), kind="mergesort")
+            seqs = g[list(ok)[0]].to_numpy(dtype=np.int64)
+            starts = g["start_tick"].to_numpy(dtype=np.int64)
+            total = int(starts[-1]) + int(g["n_tok"].to_numpy(dtype=np.int64)[-1])
+            index[key] = (seqs, starts, total)
+    return index
+
+
 def segment_sessions(
     ds,
     spec: WindowSpec,
@@ -272,6 +307,7 @@ def segment_sessions(
     chunk_ticks: int | None = 1_048_576,
     num_buckets: int = 128,
     impl: str = "bucket",
+    split_ticks: int | None = None,
     **opts,
 ):
     """Multi-row sessionize + segment: one hash shuffle, two impls.
@@ -285,6 +321,15 @@ def segment_sessions(
       loop (bounded ``chunk_ticks + lookahead`` kernel memory — the W2
       analog for monster sessions; reference
       ``src/features/YAMNetExtractor.py:78-95``).
+
+    Hot-key splitting (bucket impl): sessions bigger than ``split_ticks``
+    (default ``4 * 48 * 4096`` ticks, hop-aligned) are SPLIT across
+    buckets by tick-chunk, with boundary rows duplicated into the
+    preceding chunk so every window's tokens are local; window ownership
+    by start tick keeps emission exactly-once (SURVEY §7.4.2-3). A
+    Zipf-hot doc no longer serializes one task. Requires a cheap
+    metadata-only prefix-sum pre-pass. Disabled automatically when
+    lag/lead context is requested (lag would cross the chunk cut).
     """
     sk, ok = tuple(session_key), tuple(order_key)
 
@@ -297,24 +342,148 @@ def segment_sessions(
         return ds.groupby(list(sk)).map_groups(fn, batch_format="pyarrow")
 
     import pandas as pd
+    import ray as _ray
+
+    want_split = not (opts.get("lag") or opts.get("lead"))
+    if split_ticks is None:
+        split_ticks = ((48 * 4096) // spec.hop) * spec.hop * 4
+    C = max(spec.hop, (split_ticks // 4 // spec.hop) * spec.hop)
+    la = spec.window + 1 - spec.hop  # covers both modes' lookahead
+    width = spec.window if spec.mode == "frame" else spec.window + 1
+
+    hot_ref = None
+    if want_split:
+        hot = _hot_session_index(ds, sk, ok, split_ticks)
+        if hot:
+            hot_ref = _ray.put(hot)
+
+    def _bucket_of(keys_df: "pd.DataFrame", extra: np.ndarray | None = None) -> np.ndarray:
+        h = np.zeros(len(keys_df), dtype=np.uint64)
+        for c in keys_df.columns:
+            h ^= pd.util.hash_pandas_object(keys_df[c], index=False).to_numpy(
+                dtype=np.uint64
+            )
+        if extra is not None:
+            h ^= (extra.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+                0xBF58476D1CE4E5B9
+            )
+        return (h % np.uint64(num_buckets)).astype(np.int64)
 
     def tag(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for c in sk:
-            h ^= pd.util.hash_pandas_object(
-                pd.Series(batch[c].to_pandas()), index=False
-            ).to_numpy(dtype=np.uint64)
-        return batch.append_column(
-            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        kdf = pd.DataFrame({c: batch[c].to_pandas() for c in sk})
+        chunk = np.full(batch.num_rows, -1, dtype=np.int64)
+        if hot_ref is not None:
+            hot_idx = _ray.get(hot_ref)
+            n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+            seq = batch[ok[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+            dup_idx: list[np.ndarray] = []
+            dup_chunk: list[np.ndarray] = []
+            hot_rows = np.zeros(batch.num_rows, dtype=bool)
+            for key, (seqs, starts, _total) in hot_idx.items():
+                mask = np.ones(batch.num_rows, dtype=bool)
+                for ci, cname in enumerate(sk):
+                    mask &= kdf[cname].to_numpy() == key[ci]
+                if not mask.any():
+                    continue
+                hot_rows |= mask
+                ridx = np.flatnonzero(mask)
+                t0 = starts[np.searchsorted(seqs, seq[ridx])]
+                t1 = t0 + n_tok[ridx]
+                c_lo = np.maximum((t0 - la) // C, 0)
+                c_hi = np.maximum(-(-t1 // C) - 1, c_lo)  # last chunk overlapped
+                reps = (c_hi - c_lo + 1).astype(np.int64)
+                dup_idx.append(np.repeat(ridx, reps))
+                cum = np.concatenate([[0], np.cumsum(reps)])
+                ch = np.arange(int(reps.sum()), dtype=np.int64)
+                ch -= np.repeat(cum[:-1], reps)
+                ch += np.repeat(c_lo, reps)
+                dup_chunk.append(ch)
+            if dup_idx:
+                normal_idx = np.flatnonzero(~hot_rows)
+                all_idx = np.concatenate([normal_idx, *dup_idx])
+                all_chunk = np.concatenate(
+                    [np.full(len(normal_idx), -1, dtype=np.int64), *dup_chunk]
+                )
+                batch = batch.take(pa.array(all_idx))
+                kdf = kdf.iloc[all_idx].reset_index(drop=True)
+                chunk = all_chunk
+        bucket = _bucket_of(kdf, np.where(chunk >= 0, chunk, 0) * (chunk >= 0))
+        batch = batch.append_column("__chunk", pa.array(chunk))
+        return batch.append_column("__bucket", pa.array(bucket))
 
     def per_bucket(group: pa.Table) -> pa.Table:
         order = pa.compute.sort_indices(
-            group.select(list(sk) + list(ok)),
-            sort_keys=[(c, "ascending") for c in (*sk, *ok)],
+            group.select([*sk, "__chunk", *ok]),
+            sort_keys=[(c, "ascending") for c in (*sk, "__chunk", *ok)],
         )
         block = group.take(order).drop_columns(["__bucket"])
-        return _segment_sorted_block(block, spec, sk, opts)
+        chunk_col = block["__chunk"].to_numpy(zero_copy_only=False)
+        normal_mask = chunk_col < 0
+        outs = []
+        normal = block.filter(pa.array(normal_mask)).drop_columns(["__chunk"])
+        if normal.num_rows:
+            outs.append(_segment_sorted_block(normal, spec, sk, opts))
+        if not normal_mask.all():
+            hot_idx = _ray.get(hot_ref)
+            hot_part = block.filter(pa.array(~normal_mask))
+            hp = pd.DataFrame({c: hot_part[c].to_pandas() for c in sk})
+            hp["__chunk"] = hot_part["__chunk"].to_numpy(zero_copy_only=False)
+            values, offsets = list_buffers(hot_part["tokens"])
+            seq = hot_part[ok[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+            for key_and_chunk, g in hp.groupby([*sk, "__chunk"], sort=True):
+                key = tuple(key_and_chunk[:-1])
+                c = int(key_and_chunk[-1])
+                ridx = g.index.to_numpy()
+                seqs, starts, sess_len = hot_idx[key]
+                t0 = starts[np.searchsorted(seqs, seq[ridx])]
+                out = _emit_hot_chunk(
+                    hot_part, ridx, sk, values, offsets, t0, c, C,
+                    sess_len, spec, opts,
+                )
+                if out is not None:
+                    outs.append(out)
+        if not outs:
+            empty = block.drop_columns(["__chunk"]).slice(0, 0)
+            return _segment_sorted_block(empty, spec, sk, opts)
+        return pa.concat_tables(outs)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _emit_hot_chunk(
+    hot_part, ridx, sk, values, offsets, t0, c, C, sess_len, spec, opts
+):
+    """Emit the windows OWNED by tick-chunk ``c`` of one hot session.
+
+    ``ridx`` are the (contiguous, seq-ordered) row positions of this
+    chunk's buffer in ``hot_part`` — the chunk's rows plus the duplicated
+    boundary rows. Arrow list rows are contiguous in the child buffer, so
+    the buffer stream is one span of ``values``. Window ownership: start
+    tick in ``[c*C, min((c+1)*C, sess_len))`` — exactly-once across
+    chunks (SURVEY §7.4.2).
+    """
+    row_len = np.diff(offsets)[ridx]
+    buf_start_tick = int(t0[0])
+    v0 = int(offsets[ridx[0]])
+    buf_end_tick = int(t0[-1] + row_len[-1])
+    own_start = c * C
+    own_end = min((c + 1) * C, sess_len)
+    owned = own_end - own_start
+    if owned <= 0 or own_start < buf_start_tick or own_start >= buf_end_tick:
+        return None
+    v_own = v0 + (own_start - buf_start_tick)
+    avail = buf_end_tick - own_start
+    key_tbl = hot_part.select(list(sk)).take(pa.array(ridx[:1]))
+    return _emit_windows(
+        key_tbl,
+        list(sk),
+        values,
+        row_value_start=np.array([v_own], dtype=np.int64),
+        row_value_len=np.array([owned], dtype=np.int64),
+        row_base_tick=np.array([own_start], dtype=np.int64),
+        spec=spec,
+        is_final=np.array([own_end >= sess_len]),
+        avail_len=np.array([avail], dtype=np.int64),
+        **opts,
+    )

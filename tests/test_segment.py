@@ -141,6 +141,20 @@ def test_lead_bounded_no_leakage(tiny_tokens):
         assert list(r.lag_tokens) == toks[max(0, s - 4) : s]
 
 
+@pytest.mark.parametrize("split_ticks", [48, 96, 256])
+def test_hot_split_matches_oracle(tiny_tokens, tiny_df, split_ticks):
+    """Hot-key splitting: sessions above split_ticks are split across
+    buckets by tick-chunk with overlap duplication; output must equal the
+    oracle exactly (exactly-once windows across chunk cuts)."""
+    for spec in (WindowSpec(16, 8, "frame"), WindowSpec(24, 12, "segment")):
+        ds = rd.from_arrow(tiny_tokens)
+        got = seg.segment_sessions(
+            ds, spec, num_buckets=16, split_ticks=split_ticks, with_aggregates=True
+        ).to_pandas()
+        want = oracle.oracle_segment(tiny_df, spec)
+        assert_windows_equal(got, want)
+
+
 def test_hot_doc_skew_small(small_tokens):
     """Zipf-hot docs: grouped path still exact on a larger table."""
     spec = WindowSpec(96, 48, "frame")
