@@ -59,6 +59,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q.token_count,
         "doc_fingerprint": q.doc_fingerprint,       # rows-only
         "multimodal_decode": q.multimodal_decode,   # rows-only (stub decode)
+        # remaining reference-op coverage
+        "s4_json_extract": q.s4_json_extract,
+        "m8_fillna": q.m8_fillna,
+        "w4_point_lookup": q.w4_point_lookup,
+        "g8_collect": q.g8_collect,
+        "j2_point_lookup": q.j2_point_lookup,
+        "j5_hash_join": q.j5_hash_join,
+        "sessionize_assemble": q.sessionize_assemble,
+        "t5_resumable_roundtrip": q.t5_resumable_roundtrip,  # rows-only
     }
 
 

@@ -154,25 +154,37 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
-    lo, hi = 8, 32
+    """Two parallelism levels in fresh processes; min-of-R repeats per
+    level (this sandbox shows phantom host load — see BASELINE.md)."""
+    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
     out = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
-    thr_lo = out[lo]["segments_per_sec"]
-    thr_hi = out[hi]["segments_per_sec"]
+        best = None
+        for _ in range(reps):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        out[n] = best
+    thr_lo = sum(out[lo]["counts"].values()) / out[lo]["value"]
+    thr_hi = sum(out[hi]["counts"].values()) / out[hi]["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     print(json.dumps({
-        "segments_per_sec_8": thr_lo,
-        "segments_per_sec_32": thr_hi,
-        "sec_8": out[lo]["value"],
-        "sec_32": out[hi]["value"],
+        f"segments_per_sec_{lo}": round(thr_lo, 1),
+        f"segments_per_sec_{hi}": round(thr_hi, 1),
+        f"sec_{lo}": out[lo]["value"],
+        f"sec_{hi}": out[hi]["value"],
+        f"queries_{lo}": out[lo]["queries"],
+        f"queries_{hi}": out[hi]["queries"],
         "scaling_efficiency": round(eff, 3),
+        "repeats": reps,
         "sf": out[hi]["sf"],
     }))
 

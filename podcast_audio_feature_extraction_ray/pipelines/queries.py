@@ -501,3 +501,146 @@ def multimodal_decode(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return mm.decode_media(mm.attach_fake_payload(docs))
+
+
+# ---------------------------------------------------------------- more reference ops
+
+def s4_json_extract(sf_dir: str):
+    """S4 JSON tree navigation analog (reference ``src/data.py:50-62``):
+    pull ``k`` out of the events ``props`` JSON column (regex kernel —
+    identical RE2 semantics in Arrow and DuckDB)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.table({"event_id": batch["event_id"], "k": k})
+
+    return ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def m8_fillna(sf_dir: str):
+    """M8 fillna(0.0) over the as-of join's nullable outputs
+    (reference ``src/search/search.py:162``)."""
+    out = asof_backfill_events(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "bf_value": pc.fill_null(batch["bf_value"], 0.0),
+            }
+        )
+
+    return out.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def w4_point_lookup(sf_dir: str):
+    """W4 ranged window fetch: re-derive one window from (entity,
+    start_tick) alone (reference ``src/search/search.py:301-353``)."""
+    toks = _tokens(sf_dir)
+    start, width = 16, 16
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        keep = pc.equal(pc.bit_wise_and(ids, 7), 0)  # doc_id % 8 == 0
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.string()),
+                 "seg_tokens": pa.array([], type=pa.list_(pa.int32()))}
+            )
+        from podcast_audio_feature_extraction_ray.arrow_utils import list_buffers, list_array
+        values, offsets = list_buffers(b["tokens"])
+        lens = np.diff(offsets)
+        lo = np.minimum(start, lens)
+        hi = np.minimum(start + width, lens)
+        from podcast_audio_feature_extraction_ray.kernels import concat_ranges
+        idx, out_off = concat_ranges(offsets[:-1] + lo, hi - lo)
+        return pa.table({"doc_id": b["doc_id"], "seg_tokens": list_array(values[idx], out_off)})
+
+    return toks.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def g8_collect(sf_dir: str):
+    """G8 grouped collect/export (reference ``create_vggish_features.py:17-32``):
+    ordered doc_id list per source."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def per_source(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(x) for x in group["doc_id"])
+        return pd.DataFrame({"source": [group["source"].iloc[0]], "doc_ids": [ids],
+                             "n_docs": [np.int64(len(ids))]})
+
+    return docs.groupby("source").map_groups(per_source, batch_format="pandas")
+
+
+def j2_point_lookup(sf_dir: str):
+    """J2 id→metadata hash lookup via broadcast map
+    (reference ``src/search/search.py:296-298``)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    lookup = dict(zip(meta["doc_id"].to_pylist(), meta["n_chars"].to_pylist()))
+    import ray as _ray
+
+    ref = _ray.put(lookup)
+    ev_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    class Lookup:
+        def __init__(self):
+            self.map = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "source": batch["source"],
+                    "n_chars": pa.array([self.map[i] for i in ids], type=pa.int64()),
+                }
+            )
+
+    return ev_docs.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
+
+
+def j5_hash_join(sf_dir: str):
+    """Large-large hash join via Dataset.join (orders ⋈ customer)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j = orders.join(cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",))
+    return j.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"])
+
+
+def sessionize_assemble(sf_dir: str):
+    """Session assembly summary: per (doc_id, source) stream length and
+    row count (sessionize stage, tokens dropped for the compare)."""
+    from podcast_audio_feature_extraction_ray.stages.sessionize import assemble_sessions
+
+    out = assemble_sessions(_tokens(sf_dir))
+    return out.select_columns(["doc_id", "source", "n_tok", "n_rows"])
+
+
+def t5_resumable_roundtrip(sf_dir: str):
+    """T5 resumable sink: write hash-partitioned windows with manifests
+    to scratch, resume (0 pending), read back (rows-only; resume
+    byte-identity is pytest-verified)."""
+    import shutil
+    import tempfile
+
+    from podcast_audio_feature_extraction_ray.state import manifest as mf
+
+    out_dir = tempfile.mkdtemp(prefix="tokwin_t5_")
+    try:
+        win = seg.segment_rows(_tokens(sf_dir), FRAME_Q, key_cols=("doc_id", "source"))
+        n1 = mf.write_resumable(win, out_dir, key_cols=("doc_id", "source"), num_partitions=8)
+        win2 = seg.segment_rows(_tokens(sf_dir), FRAME_Q, key_cols=("doc_id", "source"))
+        n2 = mf.write_resumable(win2, out_dir, key_cols=("doc_id", "source"), num_partitions=8)
+        back = mf.read_output(out_dir).select_columns(["doc_id", "source", "win_id", "ts_start"])
+        df = back.to_pandas()
+        df["first_run_partitions"] = np.int64(n1)
+        df["resume_partitions"] = np.int64(n2)
+        return df
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

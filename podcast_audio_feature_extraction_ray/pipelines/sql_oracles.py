@@ -334,3 +334,57 @@ SELECT doc_id,
        cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bigint) AS n_re_tokens
 FROM documents
 """
+
+SQL["s4_json_extract"] = """
+SELECT event_id,
+       cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint) AS k
+FROM events
+"""
+
+SQL["m8_fillna"] = """
+SELECT p.event_id, p.user_id, coalesce(c.value, 0.0) AS bf_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+SQL["w4_point_lookup"] = """
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS doc_id, doc_id AS id_num,
+         list_transform(string_split(text, ' '),
+                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
+  FROM documents
+)
+SELECT doc_id,
+       tokens[17 : least(32, len(tokens))] AS seg_tokens
+FROM tok WHERE id_num % 8 = 0
+"""
+
+SQL["g8_collect"] = """
+SELECT source,
+       list(doc_id ORDER BY doc_id) AS doc_ids,
+       cast(count(*) AS bigint) AS n_docs
+FROM documents
+GROUP BY source
+"""
+
+SQL["j2_point_lookup"] = """
+SELECT doc_id, source, cast(n_chars AS bigint) AS n_chars FROM documents
+"""
+
+SQL["j5_hash_join"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+SQL["sessionize_assemble"] = """
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS doc_id, source,
+         cast(len(string_split(text, ' ')) AS bigint) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       cast(sum(n) AS bigint) AS n_tok,
+       cast(count(*) AS bigint) AS n_rows
+FROM tok GROUP BY doc_id, source
+"""
