@@ -132,7 +132,11 @@ def run_bench() -> dict:
         __import__("pyarrow.parquet", fromlist=["pq"]).read_table(inp), rate=1 / 2000.0
     )
     win_ds = rd.read_parquet(os.path.join(out_root, "rows"))
-    bf = asof.backfill_broadcast(win_ds, events, key=("doc_id", "source"), concurrency=max(2, NUM_CPUS // 4))
+    # pool must leave CPUs for the read stage or the pipeline serializes
+    bf = asof.backfill_broadcast(
+        win_ds, events, key=("doc_id", "source"),
+        concurrency=max(1, NUM_CPUS // 4),
+    )
     counts["asof"] = bf.count()
     timings["asof"] = time.time() - t0
 
