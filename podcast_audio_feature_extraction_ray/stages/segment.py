@@ -273,20 +273,62 @@ def _hot_session_index(ds, sk, ok, threshold_ticks: int):
 
     meta = ds.select_columns([*sk, *ok, "n_tok"])
 
-    def per_session(group: pd.DataFrame) -> pd.DataFrame:
-        total = int(group["n_tok"].sum())
-        if total <= threshold_ticks:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=group[c].dtype) for c in [*sk, *ok, "n_tok"]}
-                | {"start_tick": pd.Series(dtype=np.int64)}
-            )
-        g = group.sort_values(list(ok), kind="mergesort").copy()
-        g["start_tick"] = np.concatenate(
-            [[0], np.cumsum(g["n_tok"].to_numpy(dtype=np.int64))[:-1]]
-        )
-        return g[[*sk, *ok, "n_tok", "start_tick"]]
+    # 1) per-session totals via the combiner pattern: pandas partial sums
+    #    per batch (one row per key per batch), then a driver-side final
+    #    combine of the partials — the partials stream is ~|keys/batch| ×
+    #    |batches| tiny rows. Hot keys are the tail above the threshold.
+    def partial_totals(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: batch[c].to_pandas() for c in sk})
+        df["n"] = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = df.groupby(list(sk), sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    hot = meta.groupby(list(sk)).map_groups(per_session, batch_format="pandas").to_pandas()
+    partials = meta.map_batches(
+        partial_totals, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    totals = partials.groupby(list(sk), sort=False)["n"].sum()
+    hot_keys = totals[totals > threshold_ticks].reset_index().rename(
+        columns={"n": "__total"}
+    )
+    if not len(hot_keys):
+        return {}
+    hot_mi = pd.MultiIndex.from_frame(hot_keys[list(sk)])
+
+    # 2) offsets for HOT sessions only (a handful of groups)
+    def only_hot(batch: pa.Table) -> pa.Table:
+        mi = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in sk])
+        return batch.filter(pa.array(mi.isin(hot_mi)))
+
+    hot_rows = meta.map_batches(only_hot, batch_format="pyarrow", zero_copy_batch=True)
+    # metadata rows of hot sessions are small relative to their token
+    # counts; combine on the driver below ~5M rows, else distributed
+    hot = hot_rows.to_pandas()
+    if len(hot) > 5_000_000:  # pragma: no cover — 10^12-scale path
+
+        def per_session(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(list(ok), kind="mergesort").copy()
+            g["start_tick"] = np.concatenate(
+                [[0], np.cumsum(g["n_tok"].to_numpy(dtype=np.int64))[:-1]]
+            )
+            return g[[*sk, *ok, "n_tok", "start_tick"]]
+
+        hot = (
+            hot_rows.groupby(list(sk)).map_groups(per_session, batch_format="pandas")
+            .to_pandas()
+        )
+    else:
+        hot = hot.sort_values([*sk, *ok], kind="mergesort").reset_index(drop=True)
+        n = hot["n_tok"].to_numpy(dtype=np.int64)
+        cum = np.concatenate([[0], np.cumsum(n)[:-1]])
+        # restart the running sum at each session boundary
+        key_change = np.zeros(len(hot), dtype=bool)
+        if len(hot):
+            key_change[0] = True
+            for c in sk:
+                v = hot[c].to_numpy()
+                key_change[1:] |= v[1:] != v[:-1]
+            sess_base = np.maximum.accumulate(np.where(key_change, cum, -1))
+            hot["start_tick"] = cum - sess_base
     index: dict = {}
     if len(hot):
         for key, g in hot.groupby(list(sk), sort=False):
