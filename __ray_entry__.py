@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j5_hash_join": q.j5_hash_join,
         "sessionize_assemble": q.sessionize_assemble,
         "t5_resumable_roundtrip": q.t5_resumable_roundtrip,  # rows-only
+        "m2_normalize": q.m2_normalize,
+        "m7_mood_filter": q.m7_mood_filter,
     }
 
 

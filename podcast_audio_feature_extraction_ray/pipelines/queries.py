@@ -644,3 +644,39 @@ def t5_resumable_roundtrip(sf_dir: str):
         return df
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def m2_normalize(sf_dir: str):
+    """M2 numeric normalize map (reference stereo→mono + /32768.0,
+    ``src/features/YAMNetExtractor.py:70``)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "norm_value": pc.divide(batch["value"], pa.scalar(32768.0)),
+            }
+        )
+
+    return ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def m7_mood_filter(sf_dir: str):
+    """M6/M7 compound mood-predicate filter over window aggregates
+    (reference ``src/search/search.py:368-437``)."""
+    out = seg.segment_rows(
+        _tokens(sf_dir), FRAME_Q, with_aggregates=True, emit_tokens=False,
+        gt_threshold=GT_THRESHOLD, match_token=MATCH_TOKEN,
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(batch["tok_mean"], pa.scalar(250.0)),
+            pc.less(batch["n_distinct"], pa.scalar(15, pa.int64())),
+        )
+        b = batch.filter(keep)
+        return b.select(["doc_id", "source", "win_id", "ts_start", "n_tokens",
+                         "n_distinct", "tok_mean"])
+
+    return out.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

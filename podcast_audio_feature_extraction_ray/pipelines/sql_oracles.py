@@ -388,3 +388,22 @@ SELECT doc_id, source,
        cast(count(*) AS bigint) AS n_rows
 FROM tok GROUP BY doc_id, source
 """
+
+SQL["m2_normalize"] = """
+SELECT event_id, value / 32768.0 AS norm_value FROM events
+"""
+
+SQL["m7_mood_filter"] = f"""
+WITH {_TOK}, {_FRAME_WINDOWS},
+agg AS (
+  SELECT doc_id, source, win_id, ts_start,
+         cast(len(seg_tokens) AS bigint) AS n_tokens,
+         cast(len(list_distinct(seg_tokens)) AS bigint) AS n_distinct,
+         cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint)), 'sum') AS bigint) AS tok_sum
+  FROM frame
+)
+SELECT doc_id, source, win_id, ts_start, n_tokens, n_distinct,
+       tok_sum / n_tokens AS tok_mean
+FROM agg
+WHERE tok_sum / n_tokens > 250.0 AND n_distinct < 15
+"""
