@@ -381,6 +381,8 @@ def lag_lead_windows(
     slice_len: np.ndarray,
     lag: int,
     lead: int,
+    lag_avail: np.ndarray | None = None,
+    lead_avail: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Bounded lag/lead context slices for each window.
 
@@ -392,17 +394,32 @@ def lag_lead_windows(
     lookahead (reference ``src/features/YAMNetExtractor.py:78-95``); zero
     temporal leakage beyond ``ts_end + lead`` is tested as a property.
 
+    For chunked processing, ``lag_avail[i]`` is the number of buffered
+    ticks BEFORE row i's first owned tick (lookbehind history carried
+    across the cut) and ``lead_avail[i]`` the buffered ticks from the
+    owned start (owned + lookahead); both default to the simple
+    whole-session case.
+
     Returns (lag_values, lag_offsets, lead_values, lead_offsets).
     """
     base = row_base_tick[row_idx]
     vstart = row_value_start[row_idx]
-    vlen = row_value_len[row_idx]
+    la_ = (
+        np.zeros(len(row_value_start), dtype=np.int64)
+        if lag_avail is None
+        else np.asarray(lag_avail, dtype=np.int64)
+    )[row_idx]
+    ld_ = (
+        np.asarray(row_value_len, dtype=np.int64)
+        if lead_avail is None
+        else np.asarray(lead_avail, dtype=np.int64)
+    )[row_idx]
     rel_start = ts_start - base
-    lag_lo = np.maximum(rel_start - lag, 0)
+    lag_lo = np.maximum(rel_start - lag, -la_)
     lag_len = rel_start - lag_lo
     lidx, lag_off = concat_ranges(vstart + lag_lo, lag_len)
     rel_end = rel_start + slice_len
-    lead_hi = np.minimum(rel_end + lead, vlen)
+    lead_hi = np.minimum(rel_end + lead, ld_)
     lead_len = np.maximum(lead_hi - rel_end, 0)
     ridx, lead_off = concat_ranges(vstart + rel_end, lead_len)
     return values[lidx], lag_off, values[ridx], lead_off

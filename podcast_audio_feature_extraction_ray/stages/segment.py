@@ -52,6 +52,7 @@ def _emit_windows(
     *,
     is_final: np.ndarray | None = None,
     avail_len: np.ndarray | None = None,
+    lag_avail: np.ndarray | None = None,
     with_aggregates: bool = False,
     emit_tokens: bool = True,
     lag: int = 0,
@@ -124,6 +125,7 @@ def _emit_windows(
         lv, lo, rv, ro = kernels.lag_lead_windows(
             values, row_value_start, row_value_len, row_base_tick,
             row_idx, ts_start, slice_len, lag, lead,
+            lag_avail=lag_avail, lead_avail=avail_len,
         )
         if lag:
             cols["lag_tokens"] = list_array(lv, lo)
@@ -188,33 +190,34 @@ def _session_group_fn(
     key_tbl = group.select(list(session_key)).slice(0, 1)
 
     H = spec.hop
-    if chunk_ticks is None or L <= chunk_ticks + spec.lookahead:
+    lag = int(opts.get("lag") or 0)
+    lead = int(opts.get("lead") or 0)
+    # chunk lookahead must cover the last owned window PLUS its lead
+    la = spec.lookahead + (1 if spec.mode == "segment" else 0) + lead
+    if chunk_ticks is None or L <= chunk_ticks + la:
         chunks = [(0, L, L)]
     else:
-        if opts.get("lag") or opts.get("lead"):
-            raise NotImplementedError(
-                "lag/lead across chunk cuts needs the trailing-ring-buffer path; "
-                "use chunk_ticks=None or the rows path for lag/lead features"
-            )
         C = max(H, (chunk_ticks // H) * H)  # align cuts to hop multiples
         chunks = []
         for a in range(0, L, C):
             owned = min(C, L - a)
-            avail = min(owned + (spec.lookahead + (1 if spec.mode == "segment" else 0)), L - a)
+            avail = min(owned + la, L - a)
             chunks.append((a, owned, avail))
     outs = []
     for a, owned, avail in chunks:
-        sub = stream[a : a + avail]
+        hist = min(a, lag)  # lookbehind ring-buffer analog across the cut
+        sub = stream[a - hist : a + avail]
         out = _emit_windows(
             key_tbl,
             list(session_key),
             sub,
-            row_value_start=np.array([0], dtype=np.int64),
+            row_value_start=np.array([hist], dtype=np.int64),
             row_value_len=np.array([owned], dtype=np.int64),
             row_base_tick=np.array([a], dtype=np.int64),
             spec=spec,
             is_final=np.array([a + owned >= L]),
             avail_len=np.array([avail], dtype=np.int64),
+            lag_avail=np.array([hist], dtype=np.int64),
             **opts,
         )
         outs.append(out)
@@ -370,8 +373,10 @@ def segment_sessions(
     preceding chunk so every window's tokens are local; window ownership
     by start tick keeps emission exactly-once (SURVEY §7.4.2-3). A
     Zipf-hot doc no longer serializes one task. Requires a cheap
-    metadata-only prefix-sum pre-pass. Disabled automatically when
-    lag/lead context is requested (lag would cross the chunk cut).
+    metadata-only prefix-sum pre-pass. Lag history and bounded lead are
+    carried across cuts by widening the duplication range; splitting
+    falls back to whole sessions only when ``lead`` exceeds the declared
+    lookahead (which would leak past the duplicated region).
     """
     sk, ok = tuple(session_key), tuple(order_key)
 
@@ -386,11 +391,14 @@ def segment_sessions(
     import pandas as pd
     import ray as _ray
 
-    want_split = not (opts.get("lag") or opts.get("lead"))
+    lag_n = int(opts.get("lag") or 0)
+    lead_n = int(opts.get("lead") or 0)
+    # duplication range covers both modes' window lookahead plus lead
+    la = spec.window + 1 - spec.hop + lead_n
+    want_split = True
     if split_ticks is None:
         split_ticks = ((48 * 4096) // spec.hop) * spec.hop * 4
     C = max(spec.hop, (split_ticks // 4 // spec.hop) * spec.hop)
-    la = spec.window + 1 - spec.hop  # covers both modes' lookahead
     width = spec.window if spec.mode == "frame" else spec.window + 1
 
     hot_ref = None
@@ -432,7 +440,8 @@ def segment_sessions(
                 t0 = starts[np.searchsorted(seqs, seq[ridx])]
                 t1 = t0 + n_tok[ridx]
                 c_lo = np.maximum((t0 - la) // C, 0)
-                c_hi = np.maximum(-(-t1 // C) - 1, c_lo)  # last chunk overlapped
+                # +lag_n: trailing rows also serve following chunks' lookbehind
+                c_hi = np.maximum(-(-(t1 + lag_n) // C) - 1, c_lo)
                 reps = (c_hi - c_lo + 1).astype(np.int64)
                 dup_idx.append(np.repeat(ridx, reps))
                 cum = np.concatenate([[0], np.cumsum(reps)])
@@ -527,5 +536,6 @@ def _emit_hot_chunk(
         spec=spec,
         is_final=np.array([own_end >= sess_len]),
         avail_len=np.array([avail], dtype=np.int64),
+        lag_avail=np.array([own_start - buf_start_tick], dtype=np.int64),
         **opts,
     )

@@ -36,30 +36,40 @@ def _table(rng_seed: int, n_rows: int, n_docs: int, max_len: int) -> pa.Table:
     )
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=14, deadline=None)
 @given(
     seed=st.integers(0, 10_000),
     window=st.integers(1, 40),
     hop_frac=st.integers(1, 40),
     mode=st.sampled_from(["frame", "segment"]),
     impl=st.sampled_from(["bucket", "groups", "hotsplit"]),
+    lag=st.integers(0, 12),
+    lead=st.integers(0, 12),
 )
-def test_random_geometry_matches_oracle(seed, window, hop_frac, mode, impl, ray_session):
+def test_random_geometry_matches_oracle(
+    seed, window, hop_frac, mode, impl, lag, lead, ray_session
+):
     hop = max(1, min(window, hop_frac))
     spec = WindowSpec(window, hop, mode)
     tbl = _table(seed, n_rows=60, n_docs=5, max_len=30)
     ds = rd.from_arrow(tbl)
+    opts = dict(with_aggregates=True, lag=lag, lead=lead)
     if impl == "groups":
         got = seg.segment_sessions(
-            ds, spec, impl="groups", chunk_ticks=4 * hop, with_aggregates=True
+            ds, spec, impl="groups", chunk_ticks=4 * hop, **opts
         ).to_pandas()
     elif impl == "hotsplit":
         got = seg.segment_sessions(
-            ds, spec, num_buckets=4, split_ticks=8 * hop, with_aggregates=True
+            ds, spec, num_buckets=4, split_ticks=8 * hop, **opts
         ).to_pandas()
     else:
-        got = seg.segment_sessions(
-            ds, spec, num_buckets=4, with_aggregates=True
-        ).to_pandas()
-    want = oracle.oracle_segment(tbl.to_pandas(), spec)
+        got = seg.segment_sessions(ds, spec, num_buckets=4, **opts).to_pandas()
+    want = oracle.oracle_segment(tbl.to_pandas(), spec, lag=lag, lead=lead)
+    if not (lag or lead):
+        want = want.drop(columns=[c for c in ("lag_tokens", "lead_tokens") if c in want])
+    else:
+        if not lag:
+            want = want.drop(columns=["lag_tokens"])
+        if not lead:
+            want = want.drop(columns=["lead_tokens"])
     assert_windows_equal(got, want)

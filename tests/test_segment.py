@@ -111,17 +111,52 @@ def test_edge_cases():
     assert list(s17.iloc[0]["seg_tokens"]) == list(range(17))
 
 
+LL_COLS = ["doc_id", "source", "win_id", "ts_start", "ts_end",
+           "seg_tokens", "lag_tokens", "lead_tokens"]
+
+
 def test_lag_lead_matches_oracle(tiny_tokens, tiny_df):
     spec = WindowSpec(16, 8, "frame")
     ds = rd.from_arrow(tiny_tokens)
     got = seg.segment_sessions(
         ds, spec, chunk_ticks=None, lag=8, lead=8
     ).to_pandas()
-    want = oracle.oracle_segment(tiny_df, spec, lag=8, lead=8)[
-        ["doc_id", "source", "win_id", "ts_start", "ts_end",
-         "seg_tokens", "lag_tokens", "lead_tokens"]
-    ]
+    want = oracle.oracle_segment(tiny_df, spec, lag=8, lead=8)[LL_COLS]
     assert_windows_equal(got, want)
+
+
+@pytest.mark.parametrize("lag", [8, 24])
+def test_lag_lead_across_chunk_cuts(tiny_tokens, tiny_df, lag):
+    """Lag history and bounded lead carried across hop-aligned chunk cuts
+    (groups impl) and across hot-split tick-chunks (bucket impl)."""
+    spec = WindowSpec(16, 8, "frame")
+    want = oracle.oracle_segment(tiny_df, spec, lag=lag, lead=8)[LL_COLS]
+    got_g = seg.segment_sessions(
+        rd.from_arrow(tiny_tokens), spec, chunk_ticks=32, impl="groups",
+        lag=lag, lead=8,
+    ).to_pandas()
+    assert_windows_equal(got_g, want)
+    got_b = seg.segment_sessions(
+        rd.from_arrow(tiny_tokens), spec, num_buckets=8, split_ticks=64,
+        lag=lag, lead=8,
+    ).to_pandas()
+    assert_windows_equal(got_b, want)
+
+
+def test_large_lead_across_chunk_cuts(tiny_tokens, tiny_df):
+    """A lead larger than (window - hop) widens the chunk lookahead."""
+    spec = WindowSpec(16, 8, "frame")
+    want = oracle.oracle_segment(tiny_df, spec, lag=4, lead=20)[LL_COLS]
+    got = seg.segment_sessions(
+        rd.from_arrow(tiny_tokens), spec, chunk_ticks=32, impl="groups",
+        lag=4, lead=20,
+    ).to_pandas()
+    assert_windows_equal(got, want)
+    got_b = seg.segment_sessions(
+        rd.from_arrow(tiny_tokens), spec, num_buckets=8, split_ticks=64,
+        lag=4, lead=20,
+    ).to_pandas()
+    assert_windows_equal(got_b, want)
 
 
 def test_lead_bounded_no_leakage(tiny_tokens):
