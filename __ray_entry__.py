@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t5_resumable_roundtrip": q.t5_resumable_roundtrip,  # rows-only
         "m2_normalize": q.m2_normalize,
         "m7_mood_filter": q.m7_mood_filter,
+        "tumbling_window_agg": q.tumbling_window_agg,
+        "hopping_window_agg": q.hopping_window_agg,
     }
 
 

@@ -680,3 +680,21 @@ def m7_mood_filter(sf_dir: str):
                          "n_distinct", "tok_mean"])
 
     return out.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tumbling_window_agg(sf_dir: str):
+    """Event-time tumbling (1h) window aggregates per user."""
+    from podcast_audio_feature_extraction_ray.stages.timewin import tumbling_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return tumbling_aggregate(ev, "user_id", "ts", "value", width_us=3_600_000_000)
+
+
+def hopping_window_agg(sf_dir: str):
+    """Event-time hopping windows (1h width, 30min hop) per user."""
+    from podcast_audio_feature_extraction_ray.stages.timewin import tumbling_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return tumbling_aggregate(
+        ev, "user_id", "ts", "value", width_us=3_600_000_000, hop_us=1_800_000_000
+    )

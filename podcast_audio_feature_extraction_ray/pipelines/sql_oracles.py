@@ -407,3 +407,34 @@ SELECT doc_id, source, win_id, ts_start, n_tokens, n_distinct,
 FROM agg
 WHERE tok_sum / n_tokens > 250.0 AND n_distinct < 15
 """
+
+SQL["tumbling_window_agg"] = """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+       cast(count(*) AS bigint) AS n_events,
+       cast(sum(cast(round(value * 100.0) AS bigint)) AS bigint) AS sum_cents,
+       min(epoch_us(ts)) AS min_ts_us,
+       max(epoch_us(ts)) AS max_ts_us
+FROM events
+GROUP BY user_id, (epoch_us(ts) // 3600000000) * 3600000000
+"""
+
+SQL["hopping_window_agg"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         cast(round(value * 100.0) AS bigint) AS c
+  FROM events
+),
+x AS (
+  SELECT user_id, t, c,
+         unnest(range(greatest(t // 1800000000 - 1, 0), t // 1800000000 + 1)) AS j
+  FROM e
+)
+SELECT user_id, j * 1800000000 AS win_start_us,
+       cast(count(*) AS bigint) AS n_events,
+       cast(sum(c) AS bigint) AS sum_cents,
+       min(t) AS min_ts_us,
+       max(t) AS max_ts_us
+FROM x
+GROUP BY user_id, j
+"""
