@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m7_mood_filter": q.m7_mood_filter,
         "tumbling_window_agg": q.tumbling_window_agg,
         "hopping_window_agg": q.hopping_window_agg,
+        "distinct_values": q.distinct_values,
     }
 
 

@@ -86,11 +86,6 @@ def run_bench() -> dict:
         with_aggregates=True, emit_tokens=False,
     ).count()
 
-    feature_cols = [
-        "doc_id", "source", "win_id", "ts_start", "ts_end",
-        "n_tokens", "n_distinct", "freq_gt", "match_count",
-        "tok_sum", "tok_mean", "tok_std", "tok_max", "tok_min",
-    ]
     out_root = os.path.join(CACHE, f"out_{NUM_CPUS}")
     shutil.rmtree(out_root, ignore_errors=True)
     timings: dict[str, float] = {}

@@ -241,6 +241,21 @@ def window_features_stream(
         return out
     if v.min() < 0:
         raise ValueError("window distinct kernel requires non-negative tokens")
+    if m >= (1 << 31) or int(np.abs(sess_base_tick).max(initial=0)) + m >= (1 << 31):
+        # monster-session guard: global ticks exceed int32 — fall back to
+        # the gathered int64 path (correct, more memory traffic)
+        seg_values, seg_offsets = gather_windows(
+            values,
+            sess_bounds[:-1],
+            sess_base_tick,
+            win_sess,
+            ts_start,
+            slice_len,
+        )
+        out["n_distinct"] = window_aggregates(
+            seg_values, seg_offsets, gt_threshold, match_token
+        )["n_distinct"]
+        return out
     comp = a64[:m]
     np.copyto(comp, v, casting="unsafe")
     comp <<= np.int64(32)

@@ -698,3 +698,22 @@ def hopping_window_agg(sf_dir: str):
     return tumbling_aggregate(
         ev, "user_id", "ts", "value", width_us=3_600_000_000, hop_us=1_800_000_000
     )
+
+
+def distinct_values(sf_dir: str):
+    """Set op: distinct (source, lang) combos with counts over documents."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": batch["source"].to_pandas(), "lang": batch["lang"].to_pandas()})
+        g = df.groupby(["source", "lang"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )

@@ -438,3 +438,8 @@ SELECT user_id, j * 1800000000 AS win_start_us,
 FROM x
 GROUP BY user_id, j
 """
+
+SQL["distinct_values"] = """
+SELECT source, lang, cast(count(*) AS bigint) AS n_docs
+FROM documents GROUP BY source, lang
+"""
