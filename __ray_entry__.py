@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_agg": q.tumbling_window_agg,
         "hopping_window_agg": q.hopping_window_agg,
         "distinct_values": q.distinct_values,
+        "range_join_count": q.range_join_count,
     }
 
 

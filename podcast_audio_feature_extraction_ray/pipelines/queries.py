@@ -717,3 +717,26 @@ def distinct_values(sf_dir: str):
         .groupby(["source", "lang"])
         .aggregate(Sum("n", alias_name="n_docs"))
     )
+
+
+def range_join_count(sf_dir: str):
+    """Range join: events falling inside each order's first 24h window."""
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    ev_df = pd.DataFrame({"ts_us": ev["ts"].cast(pa.int64()).to_numpy()})
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lo = batch["o_orderdate"].cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "lo_us": lo,
+                "hi_us": pc.add(lo, pa.scalar(86_400_000_000, pa.int64())),
+            }
+        )
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = asof.range_count_broadcast(prepped, ev_df)
+    return out.select_columns(["o_orderkey", "lo_us", "n_in_range"])

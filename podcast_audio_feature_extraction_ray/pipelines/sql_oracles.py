@@ -443,3 +443,13 @@ SQL["distinct_values"] = """
 SELECT source, lang, cast(count(*) AS bigint) AS n_docs
 FROM documents GROUP BY source, lang
 """
+
+SQL["range_join_count"] = """
+SELECT o.o_orderkey,
+       epoch_us(o.o_orderdate) AS lo_us,
+       cast(count(e.ts) AS bigint) AS n_in_range
+FROM orders o LEFT JOIN events e
+  ON epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+ AND epoch_us(e.ts) < epoch_us(o.o_orderdate) + 86400000000
+GROUP BY o.o_orderkey, epoch_us(o.o_orderdate)
+"""

@@ -17,13 +17,14 @@ Two strategies:
   worker's heap (the reference's metadata-DF-in-``Searcher`` analog,
   ``src/search/search.py:55-89``).
 
-- ``backfill_join`` — the scale path: pack events per key into one row
-  (``groupby(key).map_groups``), LEFT-join windows against the packed
-  side (hash-partitioned ``Dataset.join``), then a stateless vectorized
-  searchsorted per batch. One small shuffle of the event side + one
-  hash-partitioned exchange of windows; no cross-product blowup because
-  the packed side has exactly one row per key. Assumes events-per-key
-  fits a row (sparse attribute streams — F3 is ~1 event / 500 ticks).
+- ``backfill_join`` — the scale path: MERGE-PATH as-of join. Both sides
+  map to a common schema, union, ONE hash groupby by key; per group a
+  (t, event-first) sort + ``maximum.accumulate`` forward-fill attaches
+  the last event to every window row. No cross product; list payloads
+  ride the shuffle untouched (Arrow's hash join can't carry them).
+
+Plus ``range_count_broadcast`` — the RANGE-JOIN recipe (interval
+predicate): broadcast sorted timestamps + two searchsorteds per batch.
 """
 
 from __future__ import annotations
@@ -239,3 +240,39 @@ def backfill_join(
         return out
 
     return tagged.groupby(list(key)).map_groups(merge, batch_format="pyarrow")
+
+
+def range_count_broadcast(
+    left_ds,
+    events: "pd.DataFrame | pa.Table",
+    ts_col: str = "ts_us",
+    lo_col: str = "lo_us",
+    hi_col: str = "hi_us",
+    out_col: str = "n_in_range",
+    concurrency: int = 2,
+):
+    """RANGE JOIN (count form): for each left row, the number of events
+    with ``lo <= ts < hi`` — two vectorized searchsorteds against a
+    broadcast sorted timestamp array. The custom-operator recipe for
+    interval predicates Ray Data lacks natively: when one side is small,
+    broadcast + binary search; when both are large, bucket by coarse time
+    range and merge per bucket (documented partitioning assumption).
+    """
+    if isinstance(events, pa.Table):
+        events = events.to_pandas()
+    ts_sorted = np.sort(events[ts_col].to_numpy(dtype=np.int64))
+    ref = ray.put(ts_sorted)
+
+    class Counter:
+        def __init__(self):
+            self.ts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = np.searchsorted(self.ts, hi, side="left") - np.searchsorted(
+                self.ts, lo, side="left"
+            )
+            return batch.append_column(out_col, pa.array(n.astype(np.int64)))
+
+    return left_ds.map_batches(Counter, batch_format="pyarrow", concurrency=concurrency)
