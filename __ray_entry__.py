@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_agg": q.hopping_window_agg,
         "distinct_values": q.distinct_values,
         "range_join_count": q.range_join_count,
+        "session_window_rollup": q.session_window_rollup,
     }
 
 

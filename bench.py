@@ -43,7 +43,8 @@ def _sf_scale() -> float:
 
 
 def _bench_input(scale: float) -> str:
-    n_rows = max(20_000, int(400_000 * scale))
+    mult = float(os.environ.get("TOKWIN_BENCH_MULT", "1.0"))
+    n_rows = max(20_000, int(400_000 * scale * mult))
     path = os.path.join(CACHE, f"tokens_{n_rows}_seed42.parquet")
     if not os.path.exists(path):
         from podcast_audio_feature_extraction_ray import fixtures

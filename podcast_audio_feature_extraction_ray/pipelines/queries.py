@@ -740,3 +740,40 @@ def range_join_count(sf_dir: str):
     prepped = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     out = asof.range_count_broadcast(prepped, ev_df)
     return out.select_columns(["o_orderkey", "lo_us", "n_in_range"])
+
+
+def session_window_rollup(sf_dir: str):
+    """Second-stage aggregation: per-session rollup of window features
+    (exact integer sums so the oracle hash-matches)."""
+    win = seg.segment_rows(
+        _tokens(sf_dir), FRAME_Q, with_aggregates=True, emit_tokens=False,
+        gt_threshold=GT_THRESHOLD, match_token=MATCH_TOKEN,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_pandas(),
+                "source": batch["source"].to_pandas(),
+                "w": np.ones(batch.num_rows, dtype=np.int64),
+                "toks": batch["n_tokens"].to_numpy(zero_copy_only=False),
+                "s": batch["tok_sum"].to_numpy(zero_copy_only=False),
+                "fg": batch["freq_gt"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["doc_id", "source"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    rolled = (
+        win.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_id", "source"])
+        .aggregate(
+            Sum("w", alias_name="n_windows"),
+            Sum("toks", alias_name="sum_window_tokens"),
+            Sum("s", alias_name="sum_tok_sum"),
+            Sum("fg", alias_name="sum_freq_gt"),
+        )
+    )
+    return rolled

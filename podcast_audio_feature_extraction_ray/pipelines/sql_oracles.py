@@ -453,3 +453,20 @@ FROM orders o LEFT JOIN events e
  AND epoch_us(e.ts) < epoch_us(o.o_orderdate) + 86400000000
 GROUP BY o.o_orderkey, epoch_us(o.o_orderdate)
 """
+
+SQL["session_window_rollup"] = f"""
+WITH {_TOK}, {_FRAME_WINDOWS},
+agg AS (
+  SELECT doc_id, source,
+         cast(len(seg_tokens) AS bigint) AS n_tokens,
+         cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint)), 'sum') AS bigint) AS tok_sum,
+         cast(len(list_filter(seg_tokens, x -> x > 300)) AS bigint) AS freq_gt
+  FROM frame
+)
+SELECT doc_id, source,
+       cast(count(*) AS bigint) AS n_windows,
+       cast(sum(n_tokens) AS bigint) AS sum_window_tokens,
+       cast(sum(tok_sum) AS bigint) AS sum_tok_sum,
+       cast(sum(freq_gt) AS bigint) AS sum_freq_gt
+FROM agg GROUP BY doc_id, source
+"""

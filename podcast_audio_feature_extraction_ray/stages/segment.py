@@ -373,10 +373,8 @@ def segment_sessions(
     preceding chunk so every window's tokens are local; window ownership
     by start tick keeps emission exactly-once (SURVEY §7.4.2-3). A
     Zipf-hot doc no longer serializes one task. Requires a cheap
-    metadata-only prefix-sum pre-pass. Lag history and bounded lead are
-    carried across cuts by widening the duplication range; splitting
-    falls back to whole sessions only when ``lead`` exceeds the declared
-    lookahead (which would leak past the duplicated region).
+    metadata-only prefix-sum pre-pass. Lag history and lead are carried
+    across cuts by widening the duplication range by ``lag``/``lead``.
     """
     sk, ok = tuple(session_key), tuple(order_key)
 
