@@ -49,7 +49,7 @@ def _table(rng_seed: int, n_rows: int, n_docs: int, max_len: int) -> pa.Table:
 def test_random_geometry_matches_oracle(
     seed, window, hop_frac, mode, impl, lag, lead, ray_session
 ):
-    hop = max(1, min(window, hop_frac))
+    hop = hop_frac  # independent of window: covers hop > window (gaps)
     spec = WindowSpec(window, hop, mode)
     tbl = _table(seed, n_rows=60, n_docs=5, max_len=30)
     ds = rd.from_arrow(tbl)
