@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_values": q.distinct_values,
         "range_join_count": q.range_join_count,
         "session_window_rollup": q.session_window_rollup,
+        "train_test_split": q.train_test_split,
     }
 
 

@@ -777,3 +777,11 @@ def session_window_rollup(sf_dir: str):
         )
     )
     return rolled
+
+
+def train_test_split(sf_dir: str):
+    """Deterministic hash-based train/test split of documents."""
+    from podcast_audio_feature_extraction_ray.stages.text import train_test_split as tts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return tts(docs)

@@ -470,3 +470,10 @@ SELECT doc_id, source,
        cast(sum(freq_gt) AS bigint) AS sum_freq_gt
 FROM agg GROUP BY doc_id, source
 """
+
+SQL["train_test_split"] = """
+SELECT doc_id,
+       CASE WHEN substr(md5(cast(doc_id AS varchar)), 1, 1) IN ('0','1','2')
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""

@@ -126,3 +126,25 @@ def doc_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text", k: int =
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def train_test_split(ds, id_col: str = "doc_id", test_hex: str = "012"):
+    """Deterministic split by content-stable hash of the id: docs whose
+    ``md5(id)`` first hex digit falls in ``test_hex`` go to 'test'
+    (~len(test_hex)/16 fraction). Stable across runs/machines/cluster
+    sizes — the property a training pipeline needs from its split."""
+    import hashlib
+
+    import pyarrow as pa
+
+    tset = set(test_hex)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = [str(x) for x in batch[id_col].to_pylist()]
+        lab = [
+            "test" if hashlib.md5(i.encode()).hexdigest()[0] in tset else "train"
+            for i in ids
+        ]
+        return pa.table({id_col: batch[id_col], "split": pa.array(lab)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
