@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_count": q.range_join_count,
         "session_window_rollup": q.session_window_rollup,
         "train_test_split": q.train_test_split,
+        "pack_training_sequences": q.pack_training_sequences,  # rows-only
     }
 
 

@@ -785,3 +785,13 @@ def train_test_split(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return tts(docs)
+
+
+def pack_training_sequences(sf_dir: str):
+    """Pack documents-derived tokens into fixed-length training sequences
+    (rows-only: bucket layout isn't SQL-expressible; loop oracle in
+    tests/test_packing.py). Summary columns only for the driver compare."""
+    from podcast_audio_feature_extraction_ray.stages.packing import pack_sequences
+
+    packed = pack_sequences(_tokens(sf_dir), seq_len=256, num_buckets=16)
+    return packed.select_columns(["bucket", "seq_no", "n_tok", "n_doc_boundaries"])
