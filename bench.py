@@ -144,6 +144,36 @@ def run_bench() -> dict:
     counts["asof"] = bf.count()
     timings["asof"] = time.time() - t0
 
+    # --- resumable: checkpointed partitioned sink (manifest lineage) +
+    # a resume pass that must find zero pending partitions
+    from podcast_audio_feature_extraction_ray.state import manifest as mf
+
+    t0 = time.time()
+    res_dir = os.path.join(out_root, "resumable")
+    win_r = seg.segment_rows(
+        rd.read_parquet(inp, override_num_blocks=nblocks),
+        FRAME_SPEC, key_cols=("doc_id", "source", "seq_no"),
+        with_aggregates=True, emit_tokens=False,
+    )
+    n_parts = mf.write_resumable(
+        win_r, res_dir, key_cols=("doc_id", "source"), num_partitions=64,
+        sort_within=("doc_id", "source", "seq_no", "ts_start"),
+    )
+    timings["resumable_write"] = time.time() - t0
+    t0 = time.time()
+    win_r2 = seg.segment_rows(
+        rd.read_parquet(inp, override_num_blocks=nblocks),
+        FRAME_SPEC, key_cols=("doc_id", "source", "seq_no"),
+        with_aggregates=True, emit_tokens=False,
+    )
+    pending = mf.write_resumable(
+        win_r2, res_dir, key_cols=("doc_id", "source"), num_partitions=64,
+        sort_within=("doc_id", "source", "seq_no", "ts_start"),
+    )
+    timings["resume_noop"] = time.time() - t0
+    counts["resumable_partitions"] = n_parts
+    assert pending == 0, "resume found pending partitions after full write"
+
     headline = timings["rows"] + timings["sessions"] + timings["asof"]
     segments = counts["rows"] + counts["sessions"] + counts["asof"]
     result = {

@@ -38,3 +38,26 @@ def test_window_spec_validation():
     assert WindowSpec(96, 48).lookahead == 48
     assert WindowSpec(10, 10).lookahead == 0
     assert WindowSpec(4, 9).lookahead == 0  # hop > window: no lookahead needed
+
+
+def test_negative_tokens_rejected():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from podcast_audio_feature_extraction_ray.config import WindowSpec
+    from podcast_audio_feature_extraction_ray.stages import segment as seg
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a"],
+            "tokens": pa.array([[1, -2, 3]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3], type=pa.int32()),
+            "source": ["web"],
+            "seq_no": pa.array([0], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        seg.segment_rows(
+            rd.from_arrow(tbl), WindowSpec(2, 1), key_cols=("doc_id",),
+            with_aggregates=True,
+        ).to_pandas()
