@@ -211,8 +211,9 @@ def run_scaling() -> None:
             if best is None or r["value"] < best["value"]:
                 best = r
         out[n] = best
-    thr_lo = sum(out[lo]["counts"].values()) / out[lo]["value"]
-    thr_hi = sum(out[hi]["counts"].values()) / out[hi]["value"]
+    window_keys = ("rows", "sessions", "asof")
+    thr_lo = sum(out[lo]["counts"][k] for k in window_keys) / out[lo]["value"]
+    thr_hi = sum(out[hi]["counts"][k] for k in window_keys) / out[hi]["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     print(json.dumps({
         f"segments_per_sec_{lo}": round(thr_lo, 1),
