@@ -144,6 +144,20 @@ def run_bench() -> dict:
     counts["asof"] = bf.count()
     timings["asof"] = time.time() - t0
 
+    # --- big windows: the reference's transcript geometry (12000/6000
+    # inclusive segments) — stresses wide windows via the gather-free
+    # aggregate kernel (not part of the headline sum)
+    from podcast_audio_feature_extraction_ray.config import SEGMENT_SPEC
+
+    t0 = time.time()
+    big = seg.segment_rows(
+        rd.read_parquet(inp, override_num_blocks=nblocks),
+        SEGMENT_SPEC, key_cols=("doc_id", "source", "seq_no"),
+        with_aggregates=True, emit_tokens=False,
+    )
+    counts["big_windows"] = big.count()
+    timings["big_windows"] = time.time() - t0
+
     # --- resumable: checkpointed partitioned sink (manifest lineage) +
     # a resume pass that must find zero pending partitions
     from podcast_audio_feature_extraction_ray.state import manifest as mf
