@@ -277,9 +277,10 @@ def _hot_session_index(ds, sk, ok, threshold_ticks: int):
     meta = ds.select_columns([*sk, *ok, "n_tok"])
 
     # 1) per-session totals via the combiner pattern: pandas partial sums
-    #    per batch (one row per key per batch), then a driver-side final
-    #    combine of the partials — the partials stream is ~|keys/batch| ×
-    #    |batches| tiny rows. Hot keys are the tail above the threshold.
+    #    per batch (one row per key per batch), then a DISTRIBUTED final
+    #    combine (`groupby.sum`) and a distributed threshold filter — the
+    #    driver only ever collects the hot tail, never the per-key totals
+    #    (at 10^12 mostly-unique keys the totals table IS the dataset).
     def partial_totals(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({c: batch[c].to_pandas() for c in sk})
         df["n"] = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -288,10 +289,19 @@ def _hot_session_index(ds, sk, ok, threshold_ticks: int):
 
     partials = meta.map_batches(
         partial_totals, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    totals = partials.groupby(list(sk), sort=False)["n"].sum()
-    hot_keys = totals[totals > threshold_ticks].reset_index().rename(
-        columns={"n": "__total"}
+    )
+    totals = partials.groupby(list(sk)).sum("n")
+    thr = int(threshold_ticks)
+
+    def only_above_threshold(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.greater(t["sum(n)"], pa.scalar(thr)))
+
+    hot_keys = (
+        totals.map_batches(
+            only_above_threshold, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+        .rename(columns={"sum(n)": "__total"})
     )
     if not len(hot_keys):
         return {}

@@ -190,6 +190,43 @@ def test_hot_split_matches_oracle(tiny_tokens, tiny_df, split_ticks):
         assert_windows_equal(got, want)
 
 
+def test_hot_index_many_unique_keys():
+    """The hot-session index must never materialize per-key totals on the
+    driver: with 10^6 mostly-unique keys, only the hot tail (2 keys here)
+    is collected. Verifies both the distributed threshold filter and the
+    per-session (seqs, starts, total) offsets it returns."""
+    n = 1_000_000
+    doc = np.arange(n, dtype=np.int64)
+    n_tok = np.full(n, 10, dtype=np.int32)
+    seq = np.zeros(n, dtype=np.int64)
+    # two hot sessions spread over many rows: totals 5_000 and 120_000
+    hot_a = pa.table(
+        {
+            "doc_id": np.full(50, -1, dtype=np.int64),
+            "seq_no": np.arange(50, dtype=np.int64),
+            "n_tok": np.full(50, 100, dtype=np.int32),
+        }
+    )
+    hot_b = pa.table(
+        {
+            "doc_id": np.full(1200, -2, dtype=np.int64),
+            "seq_no": np.arange(1200, dtype=np.int64),
+            "n_tok": np.full(1200, 100, dtype=np.int32),
+        }
+    )
+    cold = pa.table({"doc_id": doc, "seq_no": seq, "n_tok": n_tok})
+    ds = rd.from_arrow(pa.concat_tables([cold, hot_a, hot_b]))
+    idx = seg._hot_session_index(ds, ("doc_id",), ("seq_no",), threshold_ticks=4000)
+    assert set(idx.keys()) == {(-1,), (-2,)}
+    seqs, starts, total = idx[(-1,)]
+    assert total == 5000
+    assert list(seqs[:3]) == [0, 1, 2]
+    assert list(starts[:3]) == [0, 100, 200]
+    _, starts_b, total_b = idx[(-2,)]
+    assert total_b == 120_000
+    assert starts_b[-1] == 119_900
+
+
 def test_hot_doc_skew_small(small_tokens):
     """Zipf-hot docs: grouped path still exact on a larger table."""
     spec = WindowSpec(96, 48, "frame")
