@@ -233,11 +233,10 @@ def m9_parse_segment_id(sf_dir: str):
 # ---------------------------------------------------------------- grouped metrics (combiner pattern)
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    return (
-        pc.round(pc.multiply(col, pa.scalar(100.0)))
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
+    # half-away-from-zero, matching DuckDB round() (pc.round defaults to
+    # half-to-even: 112.5 -> 112 vs DuckDB 113)
+    v = col.to_numpy(zero_copy_only=False) if not isinstance(col, pa.ChunkedArray) else col.combine_chunks().to_numpy(zero_copy_only=False)
+    return (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
 
 
 def _grouped_cents_stats(sf_dir: str):
@@ -496,11 +495,15 @@ def doc_fingerprint(sf_dir: str):
 # ---------------------------------------------------------------- multimodal (stubbed decode)
 
 def multimodal_decode(sf_dir: str):
-    """Binary payload plumbing + stubbed actor-pool decode (rows-only)."""
+    """Binary payload plumbing + stubbed actor-pool decode. The decoded
+    header fields (width/height/n_frames) are pure arithmetic on doc_id,
+    so this IS oracle-verified; the byte-histogram media_embedding stays
+    pytest-checked (tests/test_trainops.py)."""
     from podcast_audio_feature_extraction_ray.stages import multimodal as mm
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return mm.decode_media(mm.attach_fake_payload(docs))
+    out = mm.decode_media(mm.attach_fake_payload(docs))
+    return out.select_columns(["doc_id", "media_type", "width", "height", "n_frames"])
 
 
 # ---------------------------------------------------------------- more reference ops
@@ -777,6 +780,68 @@ def session_window_rollup(sf_dir: str):
         )
     )
     return rolled
+
+
+def m3_clean_text(sf_dir: str):
+    """M3 text-cleaning kernel (lower/strip/regex-replace; reference
+    ``src/search/index.py:39-52`` ad & episode-number stripping)."""
+    from podcast_audio_feature_extraction_ray.stages.text import clean_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return clean_text(docs)
+
+
+def s11_json_roundtrip(sf_dir: str):
+    """S11 JSON results sink (reference ``src/search/search.py:485-488``):
+    write a projection as JSON-lines, read it back, return the rows —
+    the sink path itself is what's under test; values oracle-compare to
+    the source table."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="tokwin_s11_")
+    try:
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+        docs.write_json(out_dir)
+        return rd.read_json(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def dedup_lsh_verified(sf_dir: str):
+    """The 100-TB near-dup composition: MinHash-LSH candidates (recall)
+    → exact n-gram Jaccard verification (precision). Rows-only (LSH
+    banding isn't SQL-expressible); the verifier itself is loop-oracle
+    tested (tests/test_trainops.py)."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    docs = _docs(sf_dir)
+    cands = dedup.minhash_lsh_pairs(docs, est_threshold=0.3).to_pandas()
+    docs2 = _docs(sf_dir)
+    return dedup.ngram_jaccard_verify(docs2, cands)
+
+
+def model_score_windows(sf_dir: str):
+    """A2/A3 analog: heavy-state model actor stage — an integer weight
+    matrix np.load-ed once per actor scores every window's feature vector
+    with one matmul per batch (reference
+    ``src/features/YAMNetExtractor.py:43-49``). Exact int64 math, so the
+    DuckDB oracle reproduces logits + first-of-max argmax bit-for-bit."""
+    import os
+    import tempfile
+
+    from podcast_audio_feature_extraction_ray.stages import model
+
+    wpath = os.path.join(tempfile.gettempdir(), "tokwin_weights_v1.npy")
+    model.make_weights(wpath)
+    win = seg.segment_rows(
+        _tokens(sf_dir), FRAME_Q, with_aggregates=True, emit_tokens=False,
+        gt_threshold=GT_THRESHOLD, match_token=MATCH_TOKEN,
+    )
+    out = model.score_windows(win, wpath)
+    return out.select_columns(
+        ["doc_id", "source", "win_id", "ts_start", "ts_end", "class_id", "class_score"]
+    )
 
 
 def train_test_split(sf_dir: str):

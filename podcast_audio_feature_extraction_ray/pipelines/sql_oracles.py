@@ -477,3 +477,86 @@ SELECT doc_id,
             THEN 'test' ELSE 'train' END AS split
 FROM documents
 """
+
+
+def _model_score_sql() -> str:
+    """Inline the SAME deterministic weight matrix the actor np.loads, as
+    integer literals — exact int64 math both sides, first-of-max argmax
+    via ordered CASE (numpy argmax tie rule)."""
+    from podcast_audio_feature_extraction_ray.stages.model import (
+        DEFAULT_FEATURES,
+        weight_matrix,
+    )
+
+    W = weight_matrix()
+    feats = list(DEFAULT_FEATURES)
+    logit_defs = ",\n         ".join(
+        "cast("
+        + " + ".join(f"({int(W[ci, fi])}) * {f}" for fi, f in enumerate(feats))
+        + f" AS bigint) AS l{ci}"
+        for ci in range(W.shape[0])
+    )
+    return f"""
+WITH {_TOK}, {_FRAME_WINDOWS},
+agg AS (
+  SELECT doc_id, source, win_id, ts_start, ts_end,
+         cast(len(seg_tokens) AS bigint) AS n_tokens,
+         cast(len(list_distinct(seg_tokens)) AS bigint) AS n_distinct,
+         cast(len(list_filter(seg_tokens, x -> x > 300)) AS bigint) AS freq_gt,
+         cast(len(list_filter(seg_tokens, x -> x = 209)) AS bigint) AS match_count,
+         cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint)), 'sum') AS bigint) AS tok_sum,
+         cast(list_aggregate(seg_tokens, 'max') AS bigint) AS tok_max,
+         cast(list_aggregate(seg_tokens, 'min') AS bigint) AS tok_min
+  FROM frame
+),
+logits AS (
+  SELECT doc_id, source, win_id, ts_start, ts_end,
+         {logit_defs}
+  FROM agg
+)
+SELECT doc_id, source, win_id, ts_start, ts_end,
+       cast(CASE WHEN l0 >= l1 AND l0 >= l2 AND l0 >= l3 THEN 0
+                 WHEN l1 >= l2 AND l1 >= l3 THEN 1
+                 WHEN l2 >= l3 THEN 2 ELSE 3 END AS bigint) AS class_id,
+       greatest(l0, l1, l2, l3) AS class_score
+FROM logits
+"""
+
+
+SQL["model_score_windows"] = _model_score_sql()
+
+SQL["multimodal_decode"] = """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       cast(16 + (doc_id * 7) % 48 AS bigint) AS width,
+       cast(16 + (doc_id * 13) % 32 AS bigint) AS height,
+       cast(1 + doc_id % 4 AS bigint) AS n_frames
+FROM documents
+"""
+
+SQL["t5_resumable_roundtrip"] = f"""
+WITH {_TOK}, {_FRAME_WINDOWS}
+SELECT doc_id, source, win_id, ts_start,
+       cast(8 AS bigint) AS first_run_partitions,
+       cast(0 AS bigint) AS resume_partitions
+FROM frame
+"""
+
+SQL["m3_clean_text"] = r"""
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(text), '\[[^\]]*\]', '', 'g'),
+             '\b[0-9]+\b', '', 'g'),
+           ' +', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       cast(length(text) - length(clean_text) AS bigint) AS n_chars_removed
+FROM c
+"""
+
+SQL["s11_json_roundtrip"] = """
+SELECT doc_id, source FROM documents
+"""

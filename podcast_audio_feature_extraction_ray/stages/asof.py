@@ -49,41 +49,6 @@ def _searchsorted_attach(
     return ev_val[safe], ev_ts[safe], valid
 
 
-def _attach_batch_grouped(
-    batch: pa.Table,
-    key_cols: tuple,
-    cutoff: np.ndarray,
-    lookup,
-) -> pa.Table:
-    """Vectorized per-distinct-key backfill within one Arrow batch.
-
-    ``lookup(key_tuple) -> (ts_sorted, values) | None``.
-    """
-    n = batch.num_rows
-    out_val = np.full(n, np.nan, dtype=np.float64)
-    out_ts = np.zeros(n, dtype=np.int64)
-    out_ok = np.zeros(n, dtype=bool)
-    if n:
-        keys = pd.MultiIndex.from_arrays(
-            [batch[c].to_pandas() for c in key_cols]
-        )
-        codes, uniques = pd.factorize(keys)
-        for u in range(len(uniques)):
-            ev = lookup(tuple(uniques[u]) if len(key_cols) > 1 else (uniques[u],))
-            if ev is None:
-                continue
-            m = codes == u
-            v, t, ok = _searchsorted_attach(cutoff[m], ev[0], ev[1])
-            iv = np.flatnonzero(m)
-            out_val[iv] = np.where(ok, v, np.nan)
-            out_ts[iv] = t
-            out_ok[iv] = ok
-    cols = {c: batch[c] for c in batch.column_names}
-    cols["bf_value"] = pa.array(out_val, mask=~out_ok)
-    cols["bf_ts"] = pa.array(out_ts, mask=~out_ok)
-    return pa.table(cols)
-
-
 class _BroadcastBackfill:
     """Actor-pool stage: event index fetched ONCE per actor (A1-A5 pattern,
     reference ``src/features/OpenSmileExtractor.py:21-27``) and compiled to

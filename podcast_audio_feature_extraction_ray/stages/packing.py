@@ -79,8 +79,15 @@ def pack_sequences(
         )
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        # secondary keys: with duplicate ids the layout would otherwise
+        # depend on nondeterministic block arrival order; (id, seq_no)
+        # is the token table's unique key, n_tok the generic fallback
+        sort_cols = [id_col] + [
+            c for c in ("seq_no", "n_tok") if c in group.column_names and c != id_col
+        ]
         order = pa.compute.sort_indices(
-            group.select([id_col]), sort_keys=[(id_col, "ascending")]
+            group.select(sort_cols),
+            sort_keys=[(c, "ascending") for c in sort_cols],
         )
         return pack_bucket_table(group.take(order), seq_len, sep_token, id_col)
 

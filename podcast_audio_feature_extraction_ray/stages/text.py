@@ -35,14 +35,21 @@ def lang_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
         txt = batch[text_col]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
+        # null texts -> "": split of a null yields a null list whose
+        # offsets don't advance, which would make reduceat absorb the
+        # next row's first word — fill first, then lens >= 1 everywhere
+        txt = pc.fill_null(txt, "")
         words = pc.split_pattern(pc.utf8_lower(txt), " ")
         offsets = words.offsets.to_numpy().astype(np.int64)
         flat = words.values
         lens = np.diff(offsets)  # always >= 1: split("") -> [""]
 
         def per_row_sum(flat_arr) -> np.ndarray:
+            # cumsum-diff segmented sum: exact for zero-length segments
+            # (np.add.reduceat would return arr[offset] for those)
             arr = flat_arr.to_numpy(zero_copy_only=False)[: offsets[-1]]
-            return np.add.reduceat(arr, offsets[:-1], dtype=np.int64)
+            cs = np.concatenate([[0], np.cumsum(arr, dtype=np.int64)])
+            return cs[offsets[1:]] - cs[offsets[:-1]]
 
         n_stop = per_row_sum(pc.is_in(flat, value_set=stop_set))
         n_alpha = per_row_sum(pc.match_substring_regex(flat, r"^[a-z]+$"))
@@ -82,22 +89,37 @@ def token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def rolling_fingerprints(words: list[str], k: int = 5, w: int = 8) -> list[int]:
-    """Winnowing: k-gram rolling polynomial hashes, min per window of w.
+def clean_text(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """M3 text-cleaning kernel (reference ad/episode-number stripping,
+    ``src/search/index.py:39-52``): lower → drop [bracketed] spans →
+    drop standalone digit runs → collapse spaces → trim. All Arrow RE2
+    kernels, bit-identical to DuckDB ``regexp_replace(..., 'g')``.
+    Columns: clean_text, n_chars_removed."""
 
-    Deterministic; returns the sorted distinct selected fingerprints."""
-    B = 1315423911
-    hs = []
-    for i in range(len(words) - k + 1):
-        h = 0
-        for wd in words[i : i + k]:
-            for ch in wd.encode("utf-8"):
-                h = (h * B + ch) % MERSENNE61
-            h = (h * B + 0x1F) % MERSENNE61
-        hs.append(h)
-    if not hs:
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        c = pc.utf8_lower(txt)
+        c = pc.replace_substring_regex(c, pattern=r"\[[^\]]*\]", replacement="")
+        c = pc.replace_substring_regex(c, pattern=r"\b[0-9]+\b", replacement="")
+        c = pc.replace_substring_regex(c, pattern=r" +", replacement=" ")
+        c = pc.utf8_trim_whitespace(c)
+        removed = pc.subtract(
+            pc.utf8_length(txt).cast(pa.int64()), pc.utf8_length(c).cast(pa.int64())
+        )
+        return pa.table(
+            {id_col: batch[id_col], "clean_text": c, "n_chars_removed": removed}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _winnow(hs: np.ndarray, w: int) -> list[int]:
+    """Winnowing selection: distinct sorted minima of width-w windows."""
+    if len(hs) == 0:
         return []
-    hs = np.array(hs, dtype=np.uint64)
     if len(hs) <= w:
         return [int(hs.min())]
     from numpy.lib.stride_tricks import sliding_window_view
@@ -106,20 +128,49 @@ def rolling_fingerprints(words: list[str], k: int = 5, w: int = 8) -> list[int]:
     return sorted({int(x) for x in mins})
 
 
+def rolling_fingerprints(words: list[str], k: int = 5, w: int = 8) -> list[int]:
+    """Winnowing reference (the loop-oracle primitive): word k-gram
+    hashes via ``hashing.combine_hashes`` of per-word polynomial hashes,
+    then distinct window-of-w minima. Identical values to the batch path
+    in ``doc_fingerprint`` (which computes the same hashes with zero
+    per-char Python via ``hashing.hash_words``/``ngram_hashes``)."""
+    from podcast_audio_feature_extraction_ray import hashing
+
+    if len(words) < k:
+        return []
+    whs = [hashing.word_hash(x) for x in words]
+    hs = np.array(
+        [hashing.combine_hashes(whs[i : i + k]) for i in range(len(words) - k + 1)],
+        dtype=np.uint64,
+    )
+    return _winnow(hs, w)
+
+
 def doc_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 5, w: int = 8):
-    """Per-doc winnowing fingerprint set + compact signature."""
+    """Per-doc winnowing fingerprint set + compact signature.
+
+    Hashing is batch-vectorized; the remaining per-doc work is a numpy
+    sliding-window minimum over that doc's gram hashes. Stored
+    fingerprints are masked to int63 for the Arrow int64 column (raw
+    order is preserved before masking, matching the loop oracle).
+    """
+    from podcast_audio_feature_extraction_ray import hashing
+
+    MASK = 0x7FFFFFFFFFFFFFFF
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        fps = [rolling_fingerprints(t.split(), k, w) for t in batch[text_col].to_pylist()]
-        sig = [int(min(f)) if f else -1 for f in fps]
+        wh, toff = hashing.hash_words(batch[text_col])
+        gh, goff = hashing.ngram_hashes(wh, toff, k, short_gram=False)
+        fps = [_winnow(gh[goff[i] : goff[i + 1]], w) for i in range(len(ids))]
+        sig = [int(min(f)) & MASK if f else -1 for f in fps]
         return pa.table(
             {
                 id_col: pa.array(ids),
                 "n_fingerprints": pa.array([len(f) for f in fps], type=pa.int64()),
                 "min_fingerprint": pa.array(sig, type=pa.int64()),
                 "fingerprints": pa.array(
-                    [[x & 0x7FFFFFFFFFFFFFFF for x in f] for f in fps],
+                    [[x & MASK for x in f] for f in fps],
                     type=pa.list_(pa.int64()),
                 ),
             }

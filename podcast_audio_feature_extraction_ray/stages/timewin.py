@@ -45,9 +45,10 @@ def tumbling_aggregate(
         n = batch.num_rows
         ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ent = batch[entity_key].to_numpy(zero_copy_only=False)
-        cents = np.round(
-            batch[value_col].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        # half-away-from-zero, matching DuckDB round() (np.round is
+        # half-to-even: 112.5 -> 112 vs DuckDB 113)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
         # hopping: event at t belongs to windows starting at
         # hop * j for j in (floor((t - width)/hop), floor(t/hop)]
         j_hi = ts // hop

@@ -76,16 +76,45 @@ def top_k_backfill(ds, score_col: str, k: int, predicate, tiebreak: list[str] | 
     return out
 
 
-def stride_sample(ds, entity_key=("doc_id",), order_key=("seq_no",), first: int = 6000, step: int = 5):
-    """Per-entity ``[:first:step]`` row slice (T4/M5 analog)."""
-    ek, ok = list(entity_key), list(order_key)
+def stride_sample(
+    ds,
+    entity_key=("doc_id",),
+    order_key=("seq_no",),
+    first: int = 6000,
+    step: int = 5,
+    num_buckets: int = 64,
+):
+    """Per-entity ``[:first:step]`` row slice (T4/M5 analog).
 
-    def fn(group: pa.Table) -> pa.Table:
+    Bucketed vectorized: entities hash into O(cores) buckets; each bucket
+    block is sorted once and ALL its entities are sliced in one numpy
+    pass (position-in-run modulo mask) — Python overhead is
+    O(num_buckets), not O(num_entities)."""
+    from podcast_audio_feature_extraction_ray.stages.sessionize import (
+        _entity_runs,
+        _tag_buckets,
+    )
+
+    ek, ok = tuple(entity_key), tuple(order_key)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
         order = pa.compute.sort_indices(
-            group.select(ok), sort_keys=[(c, "ascending") for c in ok]
+            group.select([*ek, *ok]),
+            sort_keys=[(c, "ascending") for c in (*ek, *ok)],
         )
-        g = group.take(order)
-        idx = np.arange(0, min(first, g.num_rows), step, dtype=np.int64)
-        return g.take(pa.array(idx))
+        g = group.take(order).drop_columns(["__bucket"])
+        n = g.num_rows
+        if n == 0:
+            return g
+        change = _entity_runs(g, ek)
+        starts = np.flatnonzero(change)
+        runs = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, runs)
+        keep = (pos < first) & (pos % step == 0)
+        return g.take(pa.array(np.flatnonzero(keep)))
 
-    return ds.groupby(ek).map_groups(fn, batch_format="pyarrow")
+    return (
+        _tag_buckets(ds, ek, num_buckets)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -75,6 +75,25 @@ def write_resumable(
     """
     key_cols = tuple(key_cols)
     done = completed_partitions(out_dir)
+    if done:
+        # layout guard: resuming with a different partitioning would
+        # silently drop rows whose new-layout pid collides with an old
+        # completed pid — refuse instead
+        mdir = manifest_dir(out_dir)
+        sample = sorted(
+            f for f in os.listdir(mdir) if f.startswith("part-") and f.endswith(".json")
+        )[0]
+        with open(os.path.join(mdir, sample)) as fh:
+            prev = json.load(fh)
+        if prev.get("num_partitions") != num_partitions or tuple(
+            prev.get("key_cols", ())
+        ) != key_cols:
+            raise ValueError(
+                f"resume layout mismatch for {out_dir}: existing manifests were "
+                f"written with num_partitions={prev.get('num_partitions')} "
+                f"key_cols={prev.get('key_cols')}, this call uses "
+                f"num_partitions={num_partitions} key_cols={list(key_cols)}"
+            )
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
 
     def tag(batch: pa.Table) -> pa.Table:

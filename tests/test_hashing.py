@@ -1,0 +1,88 @@
+"""The vectorized hash primitives must equal their pure-Python
+references exactly (determinism is what makes the dedup family's
+loop oracles meaningful)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from podcast_audio_feature_extraction_ray import hashing as H
+
+TEXTS = [
+    "hello world foo bar",
+    "  lead  trail  ",
+    "",
+    "one",
+    "a b",
+    "x y z w v",
+    None,
+    "unicode żółć ünïcode test words here",
+]
+
+
+def test_word_hashes_match_reference():
+    wh, toff = H.hash_words(pa.array(TEXTS))
+    for i, t in enumerate(TEXTS):
+        words = (t or "").split()
+        assert [int(x) for x in wh[toff[i] : toff[i + 1]]] == [
+            H.word_hash(w) for w in words
+        ]
+
+
+def test_ngram_hashes_match_reference():
+    wh, toff = H.hash_words(pa.array(TEXTS))
+    for n in (2, 3, 5):
+        gh, goff = H.ngram_hashes(wh, toff, n)
+        for i, t in enumerate(TEXTS):
+            words = (t or "").split()
+            whs = [H.word_hash(w) for w in words]
+            if not words:
+                ref = []
+            elif len(words) < n:
+                ref = [H.combine_hashes(whs)]
+            else:
+                ref = [
+                    H.combine_hashes(whs[j : j + n])
+                    for j in range(len(words) - n + 1)
+                ]
+            assert [int(x) for x in gh[goff[i] : goff[i + 1]]] == ref
+        # winnowing rule: short texts yield nothing
+        gh2, goff2 = H.ngram_hashes(wh, toff, n, short_gram=False)
+        for i, t in enumerate(TEXTS):
+            W = len((t or "").split())
+            assert goff2[i + 1] - goff2[i] == (W - n + 1 if W >= n else 0)
+
+
+def test_minhash_and_bands_match_reference():
+    rng = np.random.default_rng(1717)
+    a = (rng.integers(0, 1 << 63, size=16, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 64, size=16, dtype=np.uint64)
+    wh, toff = H.hash_words(pa.array(TEXTS))
+    gh, goff = H.ngram_hashes(wh, toff, 3)
+    sig = H.minhash_sigs(gh, goff, a, b, chunk_grams=4)  # tiny chunks
+    for i in range(len(TEXTS)):
+        g = gh[goff[i] : goff[i + 1]]
+        if len(g) == 0:
+            ref = np.full(16, H.EMPTY_SENTINEL, np.uint64)
+        else:
+            ref = (a[:, None] * g[None, :] + b[:, None]).min(axis=1)
+        np.testing.assert_array_equal(sig[i], ref)
+    bh = H.band_hashes(sig, 4)
+    for i in range(len(TEXTS)):
+        for bi in range(4):
+            assert int(bh[i, bi]) == H.combine_hashes(sig[i, bi * 4 : (bi + 1) * 4])
+
+
+def test_simhash_and_popcount_match_reference():
+    from podcast_audio_feature_extraction_ray.stages.dedup import simhash64
+
+    wh, toff = H.hash_words(pa.array(TEXTS))
+    sh = H.simhash_batch(wh, toff)
+    for i, t in enumerate(TEXTS):
+        assert int(sh[i]) == simhash64(t or "")
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 64, size=257, dtype=np.uint64)
+    np.testing.assert_array_equal(
+        H.popcount64(x), [bin(int(v)).count("1") for v in x]
+    )

@@ -22,7 +22,9 @@ def test_packing_matches_loop_oracle(tiny_tokens):
     df["__bucket"] = (h % np.uint64(8)).astype(np.int64)
     want_rows = []
     for b, g in df.groupby("__bucket"):
-        g = g.sort_values("doc_id", kind="mergesort")
+        # mirror the engine's deterministic layout keys (the fixture has
+        # duplicate (doc_id, seq_no) rows, so n_tok breaks those ties)
+        g = g.sort_values(["doc_id", "seq_no", "n_tok"], kind="mergesort")
         stream: list[int] = []
         is_sep: list[bool] = []
         for toks in g["tokens"]:

@@ -65,3 +65,20 @@ def test_read_back_roundtrip(tiny_tokens, tmp_path):
         key_cols=("doc_id", "source", "seq_no"),
     )
     assert ds.count() == direct.count()
+
+
+def test_resume_layout_mismatch_refused(tiny_tokens, tmp_path):
+    """Re-invoking write_resumable with a different num_partitions or
+    key_cols must raise, not silently drop colliding partitions."""
+    import pytest
+
+    out = str(tmp_path / "layout")
+    _run(tiny_tokens, out, num_partitions=8)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        _run(tiny_tokens, out, num_partitions=16)
+    ds = rd.from_arrow(tiny_tokens)
+    win = seg.segment_rows(
+        ds, WindowSpec(16, 8, "frame"), key_cols=("doc_id", "source", "seq_no")
+    )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        mf.write_resumable(win, out, key_cols=("doc_id",), num_partitions=8)

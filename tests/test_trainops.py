@@ -53,7 +53,10 @@ def test_minhash_lsh_matches_loop_oracle(docs_ds, docs_df):
     got = dedup.minhash_lsh_pairs(docs_ds, est_threshold=0.5).to_pandas()
     got = got.sort_values(["a", "b"]).reset_index(drop=True)
 
-    # oracle: same params, naive loops
+    # oracle: same params, naive loops (band hash = the combine_hashes
+    # reference primitive over each band's signature rows)
+    from podcast_audio_feature_extraction_ray import hashing
+
     num_perm, bands, shingle, seed = 64, 16, 3, 1717
     a_p, b_p = dedup._perm_params(num_perm, seed)
     r = num_perm // bands
@@ -62,10 +65,7 @@ def test_minhash_lsh_matches_loop_oracle(docs_ds, docs_df):
         s = dedup.minhash_signature(row.text, num_perm, shingle, a_p, b_p)
         sigs[row.doc_id] = s
         band_hashes[row.doc_id] = [
-            struct.unpack(
-                "<Q", hashlib.blake2b(s[bi * r : (bi + 1) * r].tobytes(), digest_size=8).digest()
-            )[0]
-            for bi in range(bands)
+            hashing.combine_hashes(s[bi * r : (bi + 1) * r]) for bi in range(bands)
         ]
     ids = sorted(sigs)
     want = set()
@@ -102,6 +102,94 @@ def test_simhash_pairs_matches_bruteforce(docs_ds, docs_df):
             if d <= 3:
                 want[(x, y)] = d
     assert {(a, b): h for a, b, h in zip(got.a, got.b, got.hamming)} == want
+
+
+def test_ngram_jaccard_verify_matches_loop(docs_ds, docs_df):
+    """The LSH→exact-verify composition: verified inter/union must equal
+    a per-pair set computation on the raw texts."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    cands = dedup.minhash_lsh_pairs(docs_ds, est_threshold=0.3).to_pandas()
+    assert len(cands) > 0
+    got = (
+        dedup.ngram_jaccard_verify(docs_ds, cands)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(cands)
+    txt = docs_df.set_index("doc_id").text
+
+    def gram_set(t, n=3):
+        words = t.split()
+        if not words:
+            return set()
+        if len(words) < n:
+            return {" ".join(words)}
+        return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+    for _, r in got.iterrows():
+        sa, sb = gram_set(txt.loc[r.a]), gram_set(txt.loc[r.b])
+        assert r.inter_n == len(sa & sb)
+        assert r.union_n == len(sa | sb)
+
+
+def test_ngram_jaccard_big_block_bounded():
+    """One 10k-member block of mutually-disjoint docs must complete with
+    bounded work/memory (inverted index: no O(block^2) pair loop) and
+    still find the planted near-dup pairs exactly."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    n = 10_000
+    # disjoint docs: each uses its own vocabulary -> zero shared grams
+    texts = [f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f" for i in range(n)]
+    # planted near-dups: two pairs sharing most grams
+    texts[11] = "alpha beta gamma delta epsilon zeta"
+    texts[77] = "alpha beta gamma delta epsilon eta"
+    texts[500] = "one two three four five six"
+    texts[501] = "one two three four five six seven"
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": ["s"] * n,
+            "text": texts,
+        }
+    )
+    got = (
+        dedup.ngram_jaccard_pairs(rd.from_arrow(tbl), thresh_num=1, thresh_den=2)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got.a, got.b)) == [(11, 77), (500, 501)]
+    # exact counts: docs 11/77 share 3 of their 4+4 3-grams
+    r = got.iloc[0]
+    assert (r.inter_n, r.union_n) == (3, 5)
+
+
+def test_emb_neardup_chunked_big_label():
+    """A 10k-member label group must complete with chunked (not n^2)
+    memory and match a small-scale exact reference on the planted dups."""
+    from podcast_audio_feature_extraction_ray.stages import ann
+
+    rng = np.random.default_rng(5)
+    n, d = 10_000, 16
+    e = rng.normal(size=(n, d))
+    e[123] = e[456] * 2.0  # planted: identical direction -> cosine 1.0
+    e[789] = e[42] * 0.5
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": ["L"] * n,
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                pa.array(e.reshape(-1), type=pa.float64()),
+            ),
+        }
+    )
+    got = ann.neardup_toppairs(rd.from_arrow(tbl), top_n=2).to_pandas()
+    assert set(zip(got.a, got.b)) == {(123, 456), (42, 789)}
+    assert (got.s_r == 1.0).all()
 
 
 def test_doc_fingerprint_matches_loop(docs_ds, docs_df):
