@@ -99,7 +99,9 @@ def run_bench() -> dict:
         ds, FRAME_SPEC, key_cols=("doc_id", "source", "seq_no"),
         with_aggregates=True, emit_tokens=False,
     )
-    win.write_parquet(os.path.join(out_root, "rows"))
+    # zstd: ~15% smaller writes; fresh page-cache writes are this host's
+    # scarcest resource (BASELINE.md), so trade CPU for written bytes
+    win.write_parquet(os.path.join(out_root, "rows"), compression="zstd")
     timings["rows"] = time.time() - t0
     import pyarrow.parquet as pq
     import glob
@@ -112,10 +114,16 @@ def run_bench() -> dict:
     # --- sessions: hash shuffle + chunked streaming segmentation
     t0 = time.time()
     ds = rd.read_parquet(inp, override_num_blocks=nblocks)
-    win_s = seg.segment_sessions(
-        ds, FRAME_SPEC, with_aggregates=True, emit_tokens=False
+    # hot-key discovery reads only the metadata columns (columns= prunes
+    # at the scan; select_columns on a Dataset does not)
+    meta = rd.read_parquet(
+        inp, columns=["doc_id", "source", "seq_no", "n_tok"],
+        override_num_blocks=nblocks,
     )
-    win_s.write_parquet(os.path.join(out_root, "sessions"))
+    win_s = seg.segment_sessions(
+        ds, FRAME_SPEC, with_aggregates=True, emit_tokens=False, meta_ds=meta
+    )
+    win_s.write_parquet(os.path.join(out_root, "sessions"), compression="zstd")
     timings["sessions"] = time.time() - t0
     counts["sessions"] = sum(
         pq.read_metadata(f).num_rows
@@ -157,6 +165,23 @@ def run_bench() -> dict:
     )
     counts["big_windows"] = big.count()
     timings["big_windows"] = time.time() - t0
+
+    # --- model: heavy-state actor stage (weights np.load-ed once per
+    # actor, one int64 matmul per batch) over the rows-path windows —
+    # the compute-bound A2/A3 analog (not part of the headline sum)
+    from podcast_audio_feature_extraction_ray.stages import model as mdl
+
+    wpath = os.path.join(CACHE, "bench_weights.npy")
+    if not os.path.exists(wpath):
+        mdl.make_weights(wpath)
+    t0 = time.time()
+    scored = mdl.score_windows(
+        rd.read_parquet(os.path.join(out_root, "rows")),
+        wpath,
+        concurrency=max(1, NUM_CPUS // 4),
+    )
+    counts["model"] = scored.count()
+    timings["model"] = time.time() - t0
 
     # --- resumable: checkpointed partitioned sink (manifest lineage) +
     # a resume pass that must find zero pending partitions

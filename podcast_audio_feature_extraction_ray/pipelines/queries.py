@@ -585,23 +585,28 @@ def j2_point_lookup(sf_dir: str):
     import pyarrow.parquet as pq
 
     meta = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    lookup = dict(zip(meta["doc_id"].to_pylist(), meta["n_chars"].to_pylist()))
     import ray as _ray
 
-    ref = _ray.put(lookup)
+    # broadcast a sorted id -> value array; batches resolve with ONE
+    # vectorized searchsorted (no per-row dict lookups)
+    ids = meta["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = meta["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ref = _ray.put((ids[order], vals[order]))
     ev_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
 
     class Lookup:
         def __init__(self):
-            self.map = _ray.get(ref)
+            self.ids, self.vals = _ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_pylist()
+            q = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.ids, q)
             return pa.table(
                 {
                     "doc_id": batch["doc_id"],
                     "source": batch["source"],
-                    "n_chars": pa.array([self.map[i] for i in ids], type=pa.int64()),
+                    "n_chars": pa.array(self.vals[pos], type=pa.int64()),
                 }
             )
 
@@ -780,6 +785,56 @@ def session_window_rollup(sf_dir: str):
         )
     )
     return rolled
+
+
+T3_QUERIES = {0: 209, 1: 128, 2: 173}  # "the", "a", "of" token ids
+
+
+def t3_scored_source(sf_dir: str):
+    """T3 analog: the external search engine modeled as a SCORED SOURCE —
+    each (query, doc) candidate carries a deterministic relevance score
+    (term-frequency proxy), then top-10 per query with ranks (reference
+    ES retrieve-then-rerank, ``src/search/search.py:296-358``). Per-batch
+    local top-k pruning bounds the merge input to k-ish rows per query
+    per batch; ties at the cut are kept so the global (score desc,
+    doc_id asc) order is exact."""
+    from podcast_audio_feature_extraction_ray.arrow_utils import list_buffers
+
+    K = 10
+    toks = _tokens(sf_dir)
+
+    def score(batch: pa.Table) -> pa.Table:
+        values, offsets = list_buffers(batch["tokens"])
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        qs, ds_, ss = [], [], []
+        for qid, term in T3_QUERIES.items():
+            eq = (values == term).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(eq)])
+            cnt = cs[offsets[1:]] - cs[offsets[:-1]]
+            nz = np.flatnonzero(cnt > 0)
+            if len(nz) > K:  # keep score ties at the boundary (exactness)
+                kth = -np.partition(-cnt[nz], K - 1)[K - 1]
+                nz = nz[cnt[nz] >= kth]
+            qs.append(np.full(len(nz), qid, dtype=np.int64))
+            ds_.append(doc[nz])
+            ss.append(cnt[nz])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qs)),
+                "doc_id": pa.array(np.concatenate(ds_)),
+                "score": pa.array(np.concatenate(ss).astype(np.int64)),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(K).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    cand = toks.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
 def m3_clean_text(sf_dir: str):

@@ -560,3 +560,21 @@ FROM c
 SQL["s11_json_roundtrip"] = """
 SELECT doc_id, source FROM documents
 """
+
+SQL["t3_scored_source"] = f"""
+WITH {_TOK},
+q(query_id, term) AS (VALUES (0, 209), (1, 128), (2, 173)),
+counts AS (
+  SELECT q.query_id, t.doc_id,
+         cast(len(list_filter(t.tokens, x -> x = q.term)) AS bigint) AS score
+  FROM tok t CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         cast(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS bigint) AS rank
+  FROM counts WHERE score > 0
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""

@@ -267,50 +267,108 @@ def _segment_sorted_block(
     )
 
 
-def _hot_session_index(ds, sk, ok, threshold_ticks: int):
+def _sum_runs(b: np.ndarray, n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Group-sum int pairs by sorting + run cumsum (no Python per key)."""
+    order = np.argsort(b, kind="stable")
+    bs, ns = b[order], n[order]
+    starts = np.flatnonzero(np.concatenate([[True], bs[1:] != bs[:-1]]))
+    cs = np.concatenate([[0], np.cumsum(ns)])
+    bounds = np.append(starts, len(bs))
+    return bs[starts], cs[bounds[1:]] - cs[bounds[:-1]]
+
+
+def _hot_session_index(
+    ds, sk, ok, threshold_ticks: int, meta_ds=None, sketch_buckets: int = 1 << 20
+):
     """Metadata-only pass: per-row start ticks for sessions larger than
     ``threshold_ticks``. Only tiny columns (keys + n_tok) are shuffled —
     the hot-key index this returns is broadcast, never re-shipped per
-    batch (SURVEY §7.4.3 hot-doc splitting)."""
+    batch (SURVEY §7.4.3 hot-doc splitting).
+
+    Hot-key DISCOVERY is a counting-sketch prefilter, not a full
+    groupby: per-batch tick sums land in ``sketch_buckets`` hash
+    buckets (pure int pairs — key strings never shuffle), bucket totals
+    are combined by a bounded repartition tree (level-1 blocks emit at
+    most ``sketch_buckets`` pairs each, level 2 is one block), and a
+    bucket is a CANDIDATE iff its total exceeds the threshold — no
+    false negatives, since a bucket's total >= any member key's total.
+    Only candidate-bucket rows are then collected for exact per-key
+    totals. Sizing rule: ``sketch_buckets`` should be >= ~100x
+    total_ticks / threshold_ticks so cold buckets don't aggregate past
+    the threshold; if more than 1/64 of buckets trip (sketch saturated),
+    we fall back to an exact distributed ``groupby().sum`` so the driver
+    still never materializes per-key totals.
+    """
     import pandas as pd
 
-    meta = ds.select_columns([*sk, *ok, "n_tok"])
-
-    # 1) per-session totals via the combiner pattern: pandas partial sums
-    #    per batch (one row per key per batch), then a DISTRIBUTED final
-    #    combine (`groupby.sum`) and a distributed threshold filter — the
-    #    driver only ever collects the hot tail, never the per-key totals
-    #    (at 10^12 mostly-unique keys the totals table IS the dataset).
-    def partial_totals(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({c: batch[c].to_pandas() for c in sk})
-        df["n"] = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = df.groupby(list(sk), sort=False)["n"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    partials = meta.map_batches(
-        partial_totals, batch_format="pyarrow", zero_copy_batch=True
-    )
-    totals = partials.groupby(list(sk)).sum("n")
+    meta = meta_ds if meta_ds is not None else ds.select_columns([*sk, *ok, "n_tok"])
     thr = int(threshold_ticks)
+    NB = int(sketch_buckets)
 
-    def only_above_threshold(t: pa.Table) -> pa.Table:
-        return t.filter(pa.compute.greater(t["sum(n)"], pa.scalar(thr)))
+    def _key_buckets(batch: pa.Table) -> np.ndarray:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in sk:
+            h ^= pd.util.hash_pandas_object(
+                batch[c].to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+        return (h % np.uint64(NB)).astype(np.int64)
 
-    hot_keys = (
-        totals.map_batches(
-            only_above_threshold, batch_format="pyarrow", zero_copy_batch=True
+    def sketch(batch: pa.Table) -> pa.Table:
+        b, s = _sum_runs(
+            _key_buckets(batch),
+            batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
-        .to_pandas()
-        .rename(columns={"sum(n)": "__total"})
-    )
-    if not len(hot_keys):
-        return {}
-    hot_mi = pd.MultiIndex.from_frame(hot_keys[list(sk)])
+        return pa.table({"bucket": pa.array(b), "n": pa.array(s)})
 
-    # 2) offsets for HOT sessions only (a handful of groups)
-    def only_hot(batch: pa.Table) -> pa.Table:
-        mi = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in sk])
-        return batch.filter(pa.array(mi.isin(hot_mi)))
+    def combine(batch: pa.Table) -> pa.Table:
+        b, s = _sum_runs(
+            batch["bucket"].to_numpy(zero_copy_only=False),
+            batch["n"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"bucket": pa.array(b), "n": pa.array(s)})
+
+    pairs = meta.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    lvl1 = pairs.repartition(8).map_batches(combine, batch_format="pyarrow", batch_size=None)
+    totals = lvl1.repartition(1).map_batches(combine, batch_format="pyarrow", batch_size=None)
+    cand = totals.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], pa.scalar(thr))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if not len(cand):
+        return {}
+
+    if len(cand) > NB // 64:  # pragma: no cover — saturated sketch
+        # exact path: combiner partials + distributed groupby + filter;
+        # the driver still only collects the hot tail
+        def partial_totals(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({c: batch[c].to_pandas() for c in sk})
+            df["n"] = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+            g = df.groupby(list(sk), sort=False)["n"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        hot_keys = (
+            meta.map_batches(partial_totals, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(list(sk))
+            .sum("n")
+            .map_batches(
+                lambda t: t.filter(pa.compute.greater(t["sum(n)"], pa.scalar(thr))),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        if not len(hot_keys):
+            return {}
+        hot_mi = pd.MultiIndex.from_frame(hot_keys[list(sk)])
+
+        def only_hot(batch: pa.Table) -> pa.Table:
+            mi = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in sk])
+            return batch.filter(pa.array(mi.isin(hot_mi)))
+
+    else:
+        cand_set = np.sort(cand["bucket"].to_numpy())
+
+        def only_hot(batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.array(np.isin(_key_buckets(batch), cand_set)))
 
     hot_rows = meta.map_batches(only_hot, batch_format="pyarrow", zero_copy_batch=True)
     # metadata rows of hot sessions are small relative to their token
@@ -350,7 +408,8 @@ def _hot_session_index(ds, sk, ok, threshold_ticks: int):
             seqs = g[list(ok)[0]].to_numpy(dtype=np.int64)
             starts = g["start_tick"].to_numpy(dtype=np.int64)
             total = int(starts[-1]) + int(g["n_tok"].to_numpy(dtype=np.int64)[-1])
-            index[key] = (seqs, starts, total)
+            if total > thr:  # drop sketch-collision keys (false positives)
+                index[key] = (seqs, starts, total)
     return index
 
 
@@ -363,6 +422,7 @@ def segment_sessions(
     num_buckets: int = 128,
     impl: str = "bucket",
     split_ticks: int | None = None,
+    meta_ds=None,
     **opts,
 ):
     """Multi-row sessionize + segment: one hash shuffle, two impls.
@@ -411,7 +471,10 @@ def segment_sessions(
 
     hot_ref = None
     if want_split:
-        hot = _hot_session_index(ds, sk, ok, split_ticks)
+        # meta_ds: optional column-pruned metadata read (select_columns on
+        # an arbitrary Dataset does NOT push the projection into the scan;
+        # callers reading parquet should pass read_parquet(columns=[...]))
+        hot = _hot_session_index(ds, sk, ok, split_ticks, meta_ds=meta_ds)
         if hot:
             hot_ref = _ray.put(hot)
 

@@ -94,6 +94,17 @@ def write_resumable(
                 f"key_cols={prev.get('key_cols')}, this call uses "
                 f"num_partitions={num_partitions} key_cols={list(key_cols)}"
             )
+        # no-op resume fast path: a completed run leaves a run marker
+        # recording how many partitions held data; if every one of them
+        # still has its manifest there is nothing pending and the input
+        # pipeline is NEVER re-executed (input-fragment exclusion at its
+        # strongest; a crashed run has no marker and resumes normally)
+        marker = os.path.join(manifest_dir(out_dir), "_run_complete.json")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                mk = json.load(fh)
+            if mk.get("n_manifests") == len(done):
+                return 0
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -141,7 +152,19 @@ def write_resumable(
                          "rows_out": pa.array([group.num_rows], type=pa.int64())})
 
     written = tagged.groupby("__part").map_groups(write_group, batch_format="pyarrow")
-    return written.count()
+    n = written.count()
+    # run-completion marker (atomic) enables the no-op resume fast path
+    total_manifests = len(completed_partitions(out_dir))
+    marker = os.path.join(manifest_dir(out_dir), "_run_complete.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"n_manifests": total_manifests, "num_partitions": num_partitions,
+             "key_cols": list(key_cols)},
+            fh,
+        )
+    os.replace(tmp, marker)
+    return n
 
 
 def read_output(out_dir: str):
