@@ -54,11 +54,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q.dedup_simhash,           # rows-only
         "ann_cosine_topk": q.ann_cosine_topk,
         "ann_lsh_topk": q.ann_lsh_topk,             # rows-only
+        "ann_ivf_topk": q.ann_ivf_topk,             # rows-only
         "emb_neardup_toppairs": q.emb_neardup_toppairs,
         "lang_quality": q.lang_quality,
+        "langid_ngram_q": q.langid_ngram_q,
         "token_count": q.token_count,
         "doc_fingerprint": q.doc_fingerprint,       # rows-only
-        "multimodal_decode": q.multimodal_decode,   # rows-only (stub decode)
+        "multimodal_decode": q.multimodal_decode,
         # remaining reference-op coverage
         "s4_json_extract": q.s4_json_extract,
         "m8_fillna": q.m8_fillna,
@@ -67,7 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j2_point_lookup": q.j2_point_lookup,
         "j5_hash_join": q.j5_hash_join,
         "sessionize_assemble": q.sessionize_assemble,
-        "t5_resumable_roundtrip": q.t5_resumable_roundtrip,  # rows-only
+        "t5_resumable_roundtrip": q.t5_resumable_roundtrip,
         "m2_normalize": q.m2_normalize,
         "m7_mood_filter": q.m7_mood_filter,
         "tumbling_window_agg": q.tumbling_window_agg,

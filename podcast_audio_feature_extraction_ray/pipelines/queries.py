@@ -458,6 +458,16 @@ def ann_lsh_topk(sf_dir: str):
     return ann.lsh_bucketed_topk(emb, q, qids, k=5)
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-5 (coarse k-means quantizer trained on a
+    bounded sample; rows-only — recall tested vs brute force)."""
+    from podcast_audio_feature_extraction_ray.stages import ann
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    return ann.ivf_topk(emb, q, qids, k=5)
+
+
 def emb_neardup_toppairs(sf_dir: str):
     """Per-label top-3 most-similar embedding pairs."""
     from podcast_audio_feature_extraction_ray.stages import ann
@@ -835,6 +845,15 @@ def t3_scored_source(sf_dir: str):
 
     cand = toks.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def langid_ngram_q(sf_dir: str):
+    """Char-n-gram-profile language ID over documents (first-of-max
+    argmax across en/de/fr signature-trigram scores)."""
+    from podcast_audio_feature_extraction_ray.stages.text import langid_ngram
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return langid_ngram(docs)
 
 
 def m3_clean_text(sf_dir: str):

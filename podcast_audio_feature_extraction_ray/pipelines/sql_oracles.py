@@ -578,3 +578,17 @@ ranked AS (
 )
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
+
+SQL["langid_ngram_q"] = """
+WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+sc AS (
+  SELECT doc_id,
+         cast((length(t) - length(replace(t, ' th', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'the', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' an', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ing', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' of', ''))) / 3 AS bigint) AS s_en,
+         cast((length(t) - length(replace(t, 'der', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ein', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'sch', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' un', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ich', ''))) / 3 AS bigint) AS s_de,
+         cast((length(t) - length(replace(t, ' le', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'les', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' de', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ent', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'que', ''))) / 3 AS bigint) AS s_fr
+  FROM low
+)
+SELECT doc_id, s_en, s_de, s_fr,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en' WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang
+FROM sc
+"""

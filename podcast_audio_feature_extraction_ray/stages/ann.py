@@ -201,6 +201,129 @@ def lsh_bucketed_topk(
     return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 8,
+    sample_n: int = 2048,
+    seed: int = 7,
+    concurrency: int = 4,
+):
+    """IVF approximate top-k: a coarse quantizer (deterministic seeded
+    k-means on a driver-side sample) partitions vectors into centroid
+    lists; each query scores only its ``n_probe`` nearest lists.
+
+    Scale shape: centroids are trained ONCE on a bounded sample
+    (``ds.limit(sample_n)`` — a few thousand rows regardless of corpus
+    size), broadcast via ``ray.put``, and each batch does one
+    assignment matmul + one query matmul over the probed subset. The
+    candidate merge sees ``<= k x n_batches`` rows per query. Recall < 1
+    by design (measured in tests); every reported score is the true
+    rounded cosine, so results are verifiable per-row.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    # --- train coarse quantizer on a bounded sample (driver-side numpy)
+    sample = ds.limit(sample_n).select_columns([col]).to_pandas()
+    S = np.stack([np.asarray(x, dtype=np.float64) for x in sample[col]])
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(Sn), size=min(n_centroids, len(Sn)), replace=False)
+    C = Sn[np.sort(init)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(Sn @ C.T, axis=1)  # cosine k-means on unit sphere
+        for ci in range(len(C)):
+            m = assign == ci
+            if m.any():
+                v = Sn[m].mean(axis=0)
+                C[ci] = v / max(np.linalg.norm(v), 1e-12)
+    probes = np.argsort(-(qn @ C.T), axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put(
+        {
+            "C": C,
+            "qn": qn,
+            "qids": np.asarray(query_ids, dtype=np.int64),
+            "probes": probes,
+        }
+    )
+
+    class IvfScorer:
+        def __init__(self):
+            st = ray.get(ref)
+            self.C, self.qn, self.qids, self.probes = (
+                st["C"], st["qn"], st["qids"], st["probes"],
+            )
+            # centroid -> queries probing it
+            self.by_centroid: dict[int, np.ndarray] = {}
+            for qi in range(len(self.qids)):
+                for c in self.probes[qi]:
+                    self.by_centroid.setdefault(int(c), []).append(qi)
+            self.by_centroid = {
+                c: np.asarray(v, dtype=np.int64) for c, v in self.by_centroid.items()
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            e = _emb_matrix(batch, col)
+            norms = np.sqrt((e * e).sum(axis=1))
+            norms[norms == 0] = 1.0
+            en = e / norms[:, None]
+            assign = np.argmax(en @ self.C.T, axis=1)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            out_q, out_id, out_s = [], [], []
+            for c in np.unique(assign):
+                qis = self.by_centroid.get(int(c))
+                if qis is None:
+                    continue
+                m = assign == c
+                sub, sub_ids = en[m], ids[m]
+                s = np.round(sub @ self.qn[qis].T, 6)
+                for ci, qi in enumerate(qis):
+                    colv = s[:, ci]
+                    kk = min(k, len(colv))
+                    idx = (
+                        np.argpartition(-colv, kk - 1)[:kk]
+                        if len(colv) > kk
+                        else np.arange(len(colv))
+                    )
+                    out_q.append(np.full(len(idx), self.qids[qi], dtype=np.int64))
+                    out_id.append(sub_ids[idx])
+                    out_s.append(colv[idx])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "vec_id": pa.array(np.concatenate(out_id)),
+                    "score": pa.array(np.concatenate(out_s)),
+                }
+            )
+
+    cand = ds.map_batches(
+        IvfScorer, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def neardup_toppairs(
     ds,
     label_col: str = "label",

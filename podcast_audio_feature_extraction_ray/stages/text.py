@@ -89,6 +89,48 @@ def token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+LANG_PROFILES = {
+    # tiny char-trigram signatures; order fixes the argmax tie rule
+    "en": [" th", "the", " an", "ing", " of"],
+    "de": ["der", "ein", "sch", " un", "ich"],
+    "fr": [" le", "les", " de", "ent", "que"],
+}
+
+
+def langid_ngram(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Language-ID by char-n-gram profile scoring: per-language score =
+    total count of that profile's signature trigrams (non-overlapping,
+    matching DuckDB ``replace``-based counting), lang = first-of-max in
+    profile order. All Arrow substring kernels, zero per-row Python.
+    Columns: s_en, s_de, s_fr, lang."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.utf8_lower(pc.fill_null(txt, ""))
+        scores = {}
+        for lang, grams in LANG_PROFILES.items():
+            tot = np.zeros(len(txt), dtype=np.int64)
+            for g in grams:
+                tot += (
+                    pc.count_substring(txt, g)
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+            scores[lang] = tot
+        langs = list(LANG_PROFILES)
+        mat = np.stack([scores[l] for l in langs], axis=1)
+        best = np.argmax(mat, axis=1)  # first-of-max
+        out = {id_col: batch[id_col]}
+        for l in langs:
+            out[f"s_{l}"] = pa.array(scores[l])
+        out["lang"] = pa.array(np.array(langs, dtype=object)[best], type=pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def clean_text(ds, id_col: str = "doc_id", text_col: str = "text"):
     """M3 text-cleaning kernel (reference ad/episode-number stripping,
     ``src/search/index.py:39-52``): lower → drop [bracketed] spans →

@@ -232,6 +232,35 @@ def test_ann_lsh_recall_and_determinism(docs_ds):
         assert row.score == pytest.approx(true, abs=1e-9)
 
 
+def test_ann_ivf_recall_and_determinism(docs_ds):
+    from podcast_audio_feature_extraction_ray.stages import ann
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    qt = emb.filter(pc.less(emb["vec_id"], 4))
+    q = np.stack([np.asarray(x, dtype=np.float64) for x in qt["embedding"].to_pylist()])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+
+    brute = ann.cosine_topk(rd.from_arrow(emb), q, qids, k=5).to_pandas()
+    ivf1 = ann.ivf_topk(rd.from_arrow(emb), q, qids, k=5).to_pandas()
+    ivf2 = ann.ivf_topk(rd.from_arrow(emb), q, qids, k=5).to_pandas()
+    key = lambda df: set(zip(df.query_id, df.vec_id))
+    assert key(ivf1) == key(ivf2)  # deterministic
+    recall = len(key(ivf1) & key(brute)) / len(key(brute))
+    assert recall >= 0.25  # approximate by design; must find real neighbors
+    # every reported score is the true rounded cosine
+    E = np.stack([np.asarray(x, dtype=np.float64) for x in emb["embedding"].to_pylist()])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qpos = {int(v): i for i, v in enumerate(qids)}
+    for _, row in ivf1.iterrows():
+        true = round(float(En[pos[row.vec_id]] @ qn[qpos[row.query_id]]), 6)
+        assert row.score == pytest.approx(true, abs=1e-9)
+
+
 def test_multimodal_stub_plumbing(docs_ds, docs_df):
     from podcast_audio_feature_extraction_ray.stages import multimodal as mm
 
