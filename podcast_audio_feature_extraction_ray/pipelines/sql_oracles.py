@@ -592,3 +592,30 @@ SELECT doc_id, s_en, s_de, s_fr,
        CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en' WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang
 FROM sc
 """
+
+SQL["j4_qrels_eval"] = f"""
+WITH {_TOK},
+q(query_id, term) AS (VALUES (0, 209), (1, 128), (2, 173)),
+counts AS (
+  SELECT q.query_id, t.doc_id,
+         cast(len(list_filter(t.tokens, x -> x = q.term)) AS bigint) AS score
+  FROM tok t CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         cast(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS bigint) AS rank
+  FROM counts WHERE score > 0
+),
+results AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 10),
+qrels AS (SELECT query_id, doc_id FROM counts WHERE score >= 2)
+SELECT r.query_id,
+       cast(count(*) AS bigint) AS n_retrieved,
+       cast(sum(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_relevant_retrieved,
+       sum(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0 AS p_at_10
+FROM results r
+LEFT JOIN qrels g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+GROUP BY r.query_id
+"""

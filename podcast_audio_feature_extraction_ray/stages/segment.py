@@ -569,6 +569,9 @@ def segment_sessions(
             return _segment_sorted_block(empty, spec, sk, opts)
         return pa.concat_tables(outs)
 
+    # exchange: sort-based groupby. (A keyed-repartition hash exchange was
+    # measured under DataContext HASH_SHUFFLE and was strictly slower on
+    # this Ray version — the sort path stays.)
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
