@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m3_clean_text": q.m3_clean_text,
         "s11_json_roundtrip": q.s11_json_roundtrip,
         "dedup_lsh_verified": q.dedup_lsh_verified,  # rows-only
+        "dedup_clusters": q.dedup_clusters,          # rows-only
     }
 
 

@@ -184,6 +184,20 @@ def run_bench() -> dict:
     counts["model"] = scored.count()
     timings["model"] = time.time() - t0
 
+    # --- minhash: vectorized dedup hash family over the sf documents
+    # (signature + banding + bucket pairs + aggregate dedup; not in the
+    # headline sum)
+    from podcast_audio_feature_extraction_ray.stages import dedup as ddp
+
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(docs_path):
+        t0 = time.time()
+        pairs = ddp.minhash_lsh_pairs(
+            rd.read_parquet(docs_path, columns=["doc_id", "text"])
+        )
+        counts["minhash_pairs"] = pairs.count()
+        timings["minhash"] = time.time() - t0
+
     # --- resumable: checkpointed partitioned sink (manifest lineage) +
     # a resume pass that must find zero pending partitions
     from podcast_audio_feature_extraction_ray.state import manifest as mf

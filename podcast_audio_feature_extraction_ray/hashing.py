@@ -124,13 +124,34 @@ def hash_words(texts) -> tuple[np.ndarray, np.ndarray]:
     total = int(vl.sum())
     if total == 0:
         return np.empty(0, dtype=np.uint64), t_offsets
+    from podcast_audio_feature_extraction_ray.arena import ARENA
+
     buf = np.frombuffer(words.buffers()[2], dtype=np.uint8)
     wstarts = np.cumsum(vl) - vl
-    within = np.arange(total, dtype=np.int64) - np.repeat(wstarts, vl)
-    byte_idx = np.repeat(vs, vl) + within
-    exp = np.repeat(vl, vl) - 1 - within
-    contrib = buf[byte_idx].astype(np.uint64) * _pow_table(int(vl.max()))[exp]
-    csum = np.concatenate([[np.uint64(0)], np.cumsum(contrib)])  # wraps mod 2^64
+    # byte-level temporaries come from the per-worker arena (out= ufuncs
+    # into warm pages; fresh pages cost 40x here — arena.py)
+    word_of = ARENA.get("hw_word_of", total, np.int64)
+    word_of[:] = 0
+    word_of[wstarts[1:]] = 1
+    np.cumsum(word_of, out=word_of)
+    within = ARENA.get("hw_within", total, np.int64)
+    np.take(wstarts, word_of, out=within)
+    np.subtract(ARENA.iota(total), within, out=within)
+    idx = ARENA.get("hw_idx", total, np.int64)
+    np.take(vs, word_of, out=idx)
+    np.add(idx, within, out=idx)  # absolute byte position
+    b8 = ARENA.get("hw_bytes", total, np.uint8)
+    np.take(buf, idx, out=b8)
+    # exponent = len - 1 - within (reuse idx)
+    np.take(vl, word_of, out=idx)
+    np.subtract(idx, 1, out=idx)
+    np.subtract(idx, within, out=idx)
+    contrib = ARENA.get("hw_contrib", total, np.uint64)
+    np.take(_pow_table(int(vl.max())), idx, out=contrib)
+    contrib *= b8  # uint64 *= uint8 broadcasts elementwise, wraps mod 2^64
+    csum = ARENA.get("hw_csum", total + 1, np.uint64)
+    csum[0] = 0
+    np.cumsum(contrib, out=csum[1:])  # wraps mod 2^64
     h = csum[wstarts + vl] - csum[wstarts]  # modular segment sums
     return mix64(h), t_offsets
 
@@ -187,18 +208,23 @@ def minhash_sigs(
     g_offsets: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    chunk_grams: int = 262_144,
+    chunk_grams: int = 65_536,
 ) -> np.ndarray:
     """(n_texts, num_perm) multiply-shift minhash: min over grams of
     ``a*h + b mod 2^64``. Empty texts get the EMPTY_SENTINEL signature.
-    Chunked over texts so the G×num_perm temporary stays ~chunk-sized.
-    """
+    Chunked over texts AND computed into an arena-reused scratch buffer
+    (``out=`` ufuncs): the G×num_perm temporary would otherwise be fresh
+    pages every batch — the 40x page-fault wall this host measures
+    (``arena.py``)."""
+    from podcast_audio_feature_extraction_ray.arena import ARENA
+
     num_perm = len(a)
     n = len(g_offsets) - 1
     sig = np.full((n, num_perm), EMPTY_SENTINEL, dtype=np.uint64)
     nonempty = np.flatnonzero(np.diff(g_offsets) > 0)
     if len(nonempty) == 0:
         return sig
+    scratch = ARENA.get("minhash_vals", chunk_grams * num_perm, np.uint64)
     t0 = 0
     while t0 < len(nonempty):
         # extend the text chunk until ~chunk_grams grams
@@ -212,7 +238,13 @@ def minhash_sigs(
         texts = nonempty[t0:t1]
         lo, hi = int(g_offsets[texts[0]]), int(g_offsets[texts[-1] + 1])
         h = gram_hashes[lo:hi]
-        vals = a[None, :] * h[:, None] + b[None, :]  # (G, P) mod 2^64
+        G = len(h)
+        if G * num_perm <= len(scratch):
+            vals = scratch[: G * num_perm].reshape(G, num_perm)
+        else:  # single giant doc past the chunk size
+            vals = np.empty((G, num_perm), dtype=np.uint64)
+        np.multiply(h[:, None], a[None, :], out=vals)
+        np.add(vals, b[None, :], out=vals)  # (G, P) mod 2^64
         sig[texts] = np.minimum.reduceat(vals, g_offsets[texts] - lo, axis=0)
         t0 = t1
     return sig

@@ -947,6 +947,19 @@ def dedup_lsh_verified(sf_dir: str):
     return dedup.ngram_jaccard_verify(docs2, cands)
 
 
+def dedup_clusters(sf_dir: str):
+    """Near-dup pipeline final step: LSH candidate pairs → union-find
+    clusters → per-doc (cluster_id, keep). Rows-only (cluster
+    transitive closure isn't SQL-expressible without recursion);
+    union-find is loop-tested in tests/test_trainops.py."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    docs = _docs(sf_dir)
+    cands = dedup.minhash_lsh_pairs(docs, est_threshold=0.5).to_pandas()
+    docs2 = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return dedup.neardup_clusters(docs2, cands)
+
+
 def model_score_windows(sf_dir: str):
     """A2/A3 analog: heavy-state model actor stage — an integer weight
     matrix np.load-ed once per actor scores every window's feature vector

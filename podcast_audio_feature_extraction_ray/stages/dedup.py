@@ -408,6 +408,55 @@ def ngram_jaccard_pairs(
     return ds.groupby(block_key).map_groups(block, batch_format="pyarrow")
 
 
+def neardup_clusters(ds, pairs: "pd.DataFrame", id_col: str = "doc_id"):
+    """Resolve a near-dup PAIR list into clusters: every doc gets a
+    ``cluster_id`` (the minimum doc id reachable through pairs) and a
+    ``keep`` flag (true iff it IS the cluster minimum) — the standard
+    final step of a near-dup pipeline (LSH pairs → clusters → keep one
+    per cluster).
+
+    The pair list is the broadcast-small side (near-dup pairs are a
+    vanishing fraction of the corpus); union-find runs once driver-side
+    over the pairs, and the resulting id→cluster map is broadcast while
+    the corpus streams through one ``map_batches``. Docs not in any pair
+    are their own cluster.
+    """
+    import ray as _ray
+
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    nodes = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
+    parent = {int(x): int(x) for x in nodes}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by min id keeps cluster_id = min(member ids)
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    cluster = {int(x): find(int(x)) for x in nodes}
+    ref = _ray.put(cluster)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cl = _ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out = np.array([cl.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        batch = batch.append_column("cluster_id", pa.array(out))
+        return batch.append_column(
+            "keep", pa.array(out == ids.astype(np.int64))
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ngram_jaccard_verify(
     ds,
     pairs: "pd.DataFrame",

@@ -104,6 +104,26 @@ def test_simhash_pairs_matches_bruteforce(docs_ds, docs_df):
     assert {(a, b): h for a, b, h in zip(got.a, got.b, got.hamming)} == want
 
 
+def test_neardup_clusters_union_find():
+    """Union-find cluster resolution: cluster_id = min reachable id."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    pairs = pd.DataFrame({"a": [1, 2, 5, 9], "b": [2, 3, 6, 3]})
+    docs = pa.table(
+        {"doc_id": np.arange(1, 11, dtype=np.int64), "source": ["s"] * 10}
+    )
+    got = (
+        dedup.neardup_clusters(rd.from_arrow(docs), pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # {1,2,3,9} -> 1; {5,6} -> 5; singletons -> self
+    want_cluster = {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 4: 4, 7: 7, 8: 8, 10: 10}
+    assert {int(r.doc_id): int(r.cluster_id) for _, r in got.iterrows()} == want_cluster
+    assert set(got[got.keep].doc_id) == {1, 4, 5, 7, 8, 10}
+
+
 def test_ngram_jaccard_verify_matches_loop(docs_ds, docs_df):
     """The LSH→exact-verify composition: verified inter/union must equal
     a per-pair set computation on the raw texts."""
