@@ -478,17 +478,24 @@ def segment_sessions(
         if hot:
             hot_ref = _ray.put(hot)
 
-    def _bucket_of(keys_df: "pd.DataFrame", extra: np.ndarray | None = None) -> np.ndarray:
+    def _bucket_of(
+        keys_df: "pd.DataFrame", extra: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(key_hash uint64, bucket id). The key hash also rides the
+        exchange as ``__h`` so the per-bucket sort compares ints first
+        and touches the key strings only to break hash collisions."""
         h = np.zeros(len(keys_df), dtype=np.uint64)
         for c in keys_df.columns:
             h ^= pd.util.hash_pandas_object(keys_df[c], index=False).to_numpy(
                 dtype=np.uint64
             )
+        hb = h
         if extra is not None:
-            h ^= (extra.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
-                0xBF58476D1CE4E5B9
+            hb = h ^ (
+                (extra.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+                * np.uint64(0xBF58476D1CE4E5B9)
             )
-        return (h % np.uint64(num_buckets)).astype(np.int64)
+        return h, (hb % np.uint64(num_buckets)).astype(np.int64)
 
     def tag(batch: pa.Table) -> pa.Table:
         kdf = pd.DataFrame({c: batch[c].to_pandas() for c in sk})
@@ -529,16 +536,20 @@ def segment_sessions(
                 batch = batch.take(pa.array(all_idx))
                 kdf = kdf.iloc[all_idx].reset_index(drop=True)
                 chunk = all_chunk
-        bucket = _bucket_of(kdf, np.where(chunk >= 0, chunk, 0) * (chunk >= 0))
+        h, bucket = _bucket_of(kdf, np.where(chunk >= 0, chunk, 0) * (chunk >= 0))
+        batch = batch.append_column("__h", pa.array(h.view(np.int64)))
         batch = batch.append_column("__chunk", pa.array(chunk))
         return batch.append_column("__bucket", pa.array(bucket))
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        # __h leads the sort: int comparisons resolve almost every pair;
+        # sessions stay contiguous because (__h, sk...) still clusters
+        # every row of a key
         order = pa.compute.sort_indices(
-            group.select([*sk, "__chunk", *ok]),
-            sort_keys=[(c, "ascending") for c in (*sk, "__chunk", *ok)],
+            group.select(["__h", *sk, "__chunk", *ok]),
+            sort_keys=[(c, "ascending") for c in ("__h", *sk, "__chunk", *ok)],
         )
-        block = group.take(order).drop_columns(["__bucket"])
+        block = group.take(order).drop_columns(["__bucket", "__h"])
         chunk_col = block["__chunk"].to_numpy(zero_copy_only=False)
         normal_mask = chunk_col < 0
         outs = []
