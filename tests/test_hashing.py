@@ -86,3 +86,33 @@ def test_simhash_and_popcount_match_reference():
     np.testing.assert_array_equal(
         H.popcount64(x), [bin(int(v)).count("1") for v in x]
     )
+
+
+def test_hash_words_property_random_texts():
+    """Property: vectorized path equals the per-row reference on random
+    unicode-ish texts (hypothesis-style generation, fixed seed)."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abc ABC żó 0123 \t\n  .!?"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    wh, toff = H.hash_words(pa.array(texts))
+    for i, t in enumerate(texts):
+        assert [int(x) for x in wh[toff[i] : toff[i + 1]]] == [
+            H.word_hash(w) for w in t.split()
+        ], repr(t)
+    # simhash + minhash consistency on the same corpus
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    a, b = dedup._perm_params(32)
+    gh, goff = H.ngram_hashes(wh, toff, 2)
+    sig = H.minhash_sigs(gh, goff, a, b)
+    sh = H.simhash_batch(wh, toff)
+    for i in rng.sample(range(len(texts)), 40):
+        np.testing.assert_array_equal(
+            sig[i], dedup.minhash_signature(texts[i], 32, 2, a, b)
+        )
+        assert int(sh[i]) == dedup.simhash64(texts[i])

@@ -1,0 +1,77 @@
+"""Text-kernel conformance on crafted inputs (the fixture corpus has no
+brackets/digit runs, so the oracle gate alone can't exercise M3's regex
+branches — compare engine output against DuckDB directly here)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+CRAFTED = [
+    "Hello World",
+    "ad break [BUY OUR STUFF] resume show",
+    "Episode 42 of 100: the [sponsor] cut",
+    "  leading and   trailing   ",
+    "[whole thing bracketed]",
+    "unicode żółć ÜNÏCODE 123 mixed",
+    "numbers 123 mid 4567 and x9 mixed a1b",
+    "",
+    "[a][b][c] 1 2 3",
+]
+
+
+def test_clean_text_matches_duckdb():
+    from podcast_audio_feature_extraction_ray.stages.text import clean_text
+
+    tbl = pa.table(
+        {"doc_id": np.arange(len(CRAFTED), dtype=np.int64), "text": CRAFTED}
+    )
+    got = (
+        clean_text(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(r"""
+        WITH c AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(text), '\[[^\]]*\]', '', 'g'),
+                     '\b[0-9]+\b', '', 'g'),
+                   ' +', ' ', 'g')) AS clean_text
+          FROM documents
+        )
+        SELECT doc_id, clean_text,
+               cast(length(text) - length(clean_text) AS bigint) AS n_chars_removed
+        FROM c ORDER BY doc_id
+    """).df()
+    pd.testing.assert_series_equal(
+        got.clean_text, want.clean_text, check_names=False
+    )
+    np.testing.assert_array_equal(
+        got.n_chars_removed.to_numpy(), want.n_chars_removed.to_numpy()
+    )
+
+
+def test_langid_profiles_distinguish():
+    from podcast_audio_feature_extraction_ray.stages.text import langid_ngram
+
+    texts = [
+        "the cat and the dog are running out of the house",
+        "der hund und ein schöner schuh und noch ein buch ich",
+        "les enfants que nous aimons sont dans les jardins de que",
+    ]
+    tbl = pa.table({"doc_id": np.arange(3, dtype=np.int64), "text": texts})
+    got = (
+        langid_ngram(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.lang) == ["en", "de", "fr"]
