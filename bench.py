@@ -83,7 +83,11 @@ def run_bench() -> dict:
     # warm-up (untimed): spins up the worker pool, warms per-worker scratch
     # arenas and the OS page cache — a long-running cluster job is warm, and
     # we measure compute + shuffle, not process cold-start.
-    nblocks = 2 * NUM_CPUS  # ~2 tasks per core: enough parallelism, low dispatch overhead
+    # ~2 tasks per core, capped at 24: this host's memory bus saturates
+    # around 8-16 streaming tasks, and 64 concurrent tasks at 32 cpus
+    # measured 1.8x SLOWER than 16-24 (bus thrash). On a real cluster
+    # the cap is per-node, so blocks scale with nodes.
+    nblocks = min(2 * NUM_CPUS, 24)
     seg.segment_rows(
         rd.read_parquet(inp, override_num_blocks=nblocks),
         FRAME_SPEC, key_cols=("doc_id", "source", "seq_no"),
