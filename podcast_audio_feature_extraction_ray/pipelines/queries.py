@@ -899,6 +899,42 @@ def j4_qrels_eval(sf_dir: str):
     return out
 
 
+def s12_dead_letter(sf_dir: str):
+    """S12 failure-log sink (reference catch-log-skip + index_failed.txt,
+    ``src/features/FeatureExtractor.py:57-65``): a UDF that raises on
+    deterministic poison rows (event_id % 97 == 13) runs under
+    ``safe_map_batches``; poison rows land in the dead-letter parquet,
+    good rows flow through, and the dead count is attached so the oracle
+    checks BOTH paths."""
+    import shutil
+    import tempfile
+
+    from podcast_audio_feature_extraction_ray.stages import errors
+
+    dl_dir = tempfile.mkdtemp(prefix="tokwin_s12_")
+    try:
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+        def fn(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            if (eid % 97 == 13).any():
+                raise ValueError("poison event")
+            return pa.table(
+                {
+                    "event_id": batch["event_id"],
+                    "value_cents": pa.array(_cents(batch["value"])),
+                }
+            )
+
+        ok = errors.safe_map_batches(ev, fn, dl_dir).to_pandas()
+        dead = errors.read_dead_letters(dl_dir)
+        n_dead = int(dead.count()) if dead is not None else 0
+        ok["n_dead_total"] = np.int64(n_dead)
+        return ok
+    finally:
+        shutil.rmtree(dl_dir, ignore_errors=True)
+
+
 def langid_ngram_q(sf_dir: str):
     """Char-n-gram-profile language ID over documents (first-of-max
     argmax across en/de/fr signature-trigram scores)."""

@@ -619,3 +619,13 @@ FROM results r
 LEFT JOIN qrels g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
 GROUP BY r.query_id
 """
+
+SQL["s12_dead_letter"] = """
+SELECT event_id,
+       cast(CASE WHEN value >= 0
+                 THEN floor(value * 100.0 + 0.5)
+                 ELSE -floor(-value * 100.0 + 0.5) END AS bigint) AS value_cents,
+       (SELECT cast(count(*) AS bigint) FROM events WHERE event_id % 97 = 13)
+         AS n_dead_total
+FROM events WHERE event_id % 97 <> 13
+"""
