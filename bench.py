@@ -48,12 +48,23 @@ def _sf_scale() -> float:
 def _bench_input(scale: float) -> str:
     mult = float(os.environ.get("TOKWIN_BENCH_MULT", "1.0"))
     n_rows = max(20_000, int(400_000 * scale * mult))
-    path = os.path.join(CACHE, f"tokens_{n_rows}_seed42.parquet")
+    # a DIRECTORY of files: a single parquet file becomes ONE read task
+    # (+ SplitBlocks) in Ray Data — the scan itself must parallelize,
+    # as any real many-file corpus would
+    n_files = 8
+    path = os.path.join(CACHE, f"tokens_{n_rows}_seed42_d{n_files}")
     if not os.path.exists(path):
         from podcast_audio_feature_extraction_ray import fixtures
 
         tbl = fixtures.token_table(n_rows, n_docs=max(200, n_rows // 50), seed=42)
-        fixtures.write_fixture(tbl, path)
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        step = -(-tbl.num_rows // n_files)
+        for i in range(n_files):
+            part = tbl.slice(i * step, step)
+            if part.num_rows:
+                fixtures.write_fixture(part, os.path.join(tmp, f"part-{i:02d}.parquet"))
+        os.replace(tmp, path)
     return path
 
 
@@ -139,7 +150,7 @@ def run_bench() -> dict:
 
     # --- asof: broadcast backfill over the rows-path windows
     # (event synthesis is input prep, cached and untimed)
-    ev_path = inp.replace(".parquet", "_events.parquet")
+    ev_path = inp.rstrip("/") + "_events.parquet"
     if not os.path.exists(ev_path):
         ev_tbl = fixtures.event_table(
             __import__("pyarrow.parquet", fromlist=["pq"]).read_table(inp),
