@@ -167,6 +167,7 @@ def run_bench() -> dict:
     bf = asof.backfill_broadcast(
         win_ds, events, key=("doc_id", "source"),
         concurrency=max(1, NUM_CPUS // 2),
+        batch_size=32768,  # one searchsorted per batch — dispatch dominates small batches
     )
     counts["asof"] = bf.count()
     timings["asof"] = time.time() - t0
