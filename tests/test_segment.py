@@ -236,3 +236,20 @@ def test_hot_doc_skew_small(small_tokens):
     assert_windows_equal(
         got, want[["doc_id", "source", "win_id", "ts_start", "ts_end", "seg_tokens"]]
     )
+
+
+def test_sessions_meta_ds_equivalent(tiny_tokens, tiny_df):
+    """segment_sessions(meta_ds=...) (the pruned-scan fast path for
+    hot-key discovery) must produce identical output to the default."""
+    spec = WindowSpec(16, 8, "frame")
+    base = seg.segment_sessions(
+        rd.from_arrow(tiny_tokens), spec, with_aggregates=True, split_ticks=64
+    ).to_pandas()
+    meta = rd.from_arrow(
+        tiny_tokens.select(["doc_id", "source", "seq_no", "n_tok"])
+    )
+    fast = seg.segment_sessions(
+        rd.from_arrow(tiny_tokens), spec, with_aggregates=True, split_ticks=64,
+        meta_ds=meta,
+    ).to_pandas()
+    assert_windows_equal(fast, base[list(fast.columns)])
