@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t3_scored_source": q.t3_scored_source,
         "j4_qrels_eval": q.j4_qrels_eval,
         "s12_dead_letter": q.s12_dead_letter,
+        "vocab_topk": q.vocab_topk,
+        "quality_filter": q.quality_filter,
         "m3_clean_text": q.m3_clean_text,
         "s11_json_roundtrip": q.s11_json_roundtrip,
         "dedup_lsh_verified": q.dedup_lsh_verified,  # rows-only

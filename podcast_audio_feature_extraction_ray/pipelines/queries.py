@@ -899,6 +899,69 @@ def j4_qrels_eval(sf_dir: str):
     return out
 
 
+def vocab_topk(sf_dir: str):
+    """Corpus vocabulary builder (the BPE-prep shape): global token
+    frequencies via per-batch ``bincount`` partials (token ids are a
+    bounded vocab, so each batch contributes at most |vocab| rows no
+    matter how many tokens it holds) → small groupby → top-50 by
+    (count desc, token asc). The canonical pre-aggregation pattern: the
+    shuffle moves per-batch partial counts, never tokens."""
+    from podcast_audio_feature_extraction_ray.arrow_utils import list_buffers
+
+    toks = _tokens(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, _ = list_buffers(batch["tokens"])
+        if len(values) == 0:
+            return pa.table(
+                {"token": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        counts = np.bincount(values.astype(np.int64))
+        nz = np.flatnonzero(counts)
+        return pa.table({"token": pa.array(nz), "n": pa.array(counts[nz])})
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        toks.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    out = topk.top_k(totals, "n_occurrences", 50, tiebreak=["token"])
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        # top_k output is globally sorted; single block of 50 rows
+        return batch.append_column(
+            "rank", pa.array(np.arange(1, batch.num_rows + 1, dtype=np.int64))
+        )
+
+    return out.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
+def quality_filter(sf_dir: str):
+    """Quality-filter composition (the C4-style keep/drop gate): keep
+    docs that look English and well-formed — stop_ratio > 0.09,
+    n_words >= 50, 3.0 <= mean_word_len <= 12.0 — emitting the kept ids
+    with their scores. Float comparisons use the identical single
+    divisions as the SQL oracle."""
+    from podcast_audio_feature_extraction_ray.stages.text import lang_quality
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    q = lang_quality(docs)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        sr = batch["stop_ratio"].to_numpy(zero_copy_only=False)
+        nw = batch["n_words"].to_numpy(zero_copy_only=False)
+        ml = batch["mean_word_len"].to_numpy(zero_copy_only=False)
+        m = (sr > 0.09) & (nw >= 50) & (ml >= 3.0) & (ml <= 12.0)
+        return batch.filter(pa.array(m)).select(
+            ["doc_id", "n_words", "stop_ratio", "mean_word_len"]
+        )
+
+    return q.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def s12_dead_letter(sf_dir: str):
     """S12 failure-log sink (reference catch-log-skip + index_failed.txt,
     ``src/features/FeatureExtractor.py:57-65``): a UDF that raises on

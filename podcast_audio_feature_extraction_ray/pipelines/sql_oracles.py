@@ -629,3 +629,39 @@ SELECT event_id,
          AS n_dead_total
 FROM events WHERE event_id % 97 <> 13
 """
+
+SQL["vocab_topk"] = f"""
+WITH {_TOK},
+flat AS (SELECT unnest(tokens) AS token FROM tok),
+cnt AS (
+  SELECT cast(token AS bigint) AS token, cast(count(*) AS bigint) AS n_occurrences
+  FROM flat GROUP BY token
+),
+ranked AS (
+  SELECT token, n_occurrences,
+         cast(row_number() OVER (ORDER BY n_occurrences DESC, token) AS bigint) AS rank
+  FROM cnt
+)
+SELECT token, n_occurrences, rank FROM ranked WHERE rank <= 50
+"""
+
+SQL["quality_filter"] = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+),
+q AS (
+  SELECT doc_id,
+         cast(len(words) AS bigint) AS n_words,
+         cast(len(list_filter(words, x -> x IN
+           ('the','a','an','and','or','of','to','in','is','are','was','were',
+            'be','been','it','this','that','for','on','with','as','at','by'))) AS bigint) AS n_stop,
+         cast(list_aggregate(list_transform(words, x -> cast(length(x) AS bigint)), 'sum') AS bigint) AS sum_len
+  FROM w
+)
+SELECT doc_id, n_words,
+       n_stop / n_words AS stop_ratio,
+       sum_len / n_words AS mean_word_len
+FROM q
+WHERE n_stop / n_words > 0.09 AND n_words >= 50
+  AND sum_len / n_words >= 3.0 AND sum_len / n_words <= 12.0
+"""
