@@ -929,14 +929,14 @@ def vocab_topk(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_occurrences"))
     )
     out = topk.top_k(totals, "n_occurrences", 50, tiebreak=["token"])
-
-    def add_rank(batch: pa.Table) -> pa.Table:
-        # top_k output is globally sorted; single block of 50 rows
-        return batch.append_column(
-            "rank", pa.array(np.arange(1, batch.num_rows + 1, dtype=np.int64))
-        )
-
-    return out.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+    # rank the k-row result driver-side (the top-k output can span
+    # multiple blocks, and a per-block rank would restart at 1)
+    df = out.to_pandas()
+    df = df.sort_values(
+        ["n_occurrences", "token"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
 
 
 def quality_filter(sf_dir: str):
