@@ -70,3 +70,48 @@ def word_tokens_np(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         vals.extend(len(w) * 31 + (ord(w[0]) if w else 0) for w in words)
         offsets[i + 1] = len(vals)
     return np.asarray(vals, dtype=np.int32), offsets
+
+
+def word_tokens_arrow(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``word_tokens_np`` over an Arrow string column — the
+    token-derivation hot path (zero per-row Python; identical values to
+    the loop reference, property-tested in tests/test_text_kernels.py).
+
+    ``pc.split_pattern(x, " ")`` matches Python ``x.split(" ")`` exactly
+    (empty tokens kept for leading/trailing/run spaces); word length is
+    codepoints (``pc.utf8_length``); the first codepoint is decoded from
+    the UTF-8 byte buffer with branch-free numpy selects.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    lists = pc.split_pattern(texts, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    t_offsets = np.asarray(lists.offsets, dtype=np.int64)
+    words = lists.values
+    L = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(words.type) else np.int32
+    w_off = np.frombuffer(words.buffers()[1], dtype=off_dtype)[
+        words.offset : words.offset + len(words) + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(words.buffers()[2], dtype=np.uint8)
+    s, blen = w_off[:-1], np.diff(w_off)
+    has = blen > 0
+    nb = len(buf)
+
+    def byte(k: int) -> np.ndarray:
+        return buf[np.minimum(s + k, max(nb - 1, 0))].astype(np.int64) if nb else np.zeros(len(s), np.int64)
+
+    b0, b1, b2, b3 = byte(0), byte(1), byte(2), byte(3)
+    cp = np.select(
+        [b0 < 0x80, b0 < 0xE0, b0 < 0xF0],
+        [
+            b0,
+            ((b0 & 0x1F) << 6) | (b1 & 0x3F),
+            ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F),
+        ],
+        ((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6) | (b3 & 0x3F),
+    )
+    vals = np.where(has, L * 31 + cp, 0).astype(np.int32)
+    return vals, t_offsets

@@ -85,8 +85,11 @@ def _pow_table(n: int) -> np.ndarray:
     global _POW_CACHE
     if len(_POW_CACHE) <= n:
         ext = np.full(n + 1 - len(_POW_CACHE), HASH_BASE, dtype=np.uint64)
-        ext[0] = _POW_CACHE[-1] * np.uint64(HASH_BASE)
-        np.multiply.accumulate(ext, out=ext)
+        # uint64 wraparound is intentional; the scalar multiply would emit
+        # a RuntimeWarning (and trip np.errstate(over='raise')) unsilenced
+        with np.errstate(over="ignore"):
+            ext[0] = _POW_CACHE[-1] * np.uint64(HASH_BASE)
+            np.multiply.accumulate(ext, out=ext)
         _POW_CACHE = np.concatenate([_POW_CACHE, ext])
     return _POW_CACHE
 
@@ -110,7 +113,11 @@ def hash_words(texts) -> tuple[np.ndarray, np.ndarray]:
     n_txt = len(lists)
     l_off = np.asarray(lists.offsets, dtype=np.int64)
     words = lists.values
-    w_off = np.frombuffer(words.buffers()[1], dtype=np.int32)[
+    # Ray Data can promote text columns to large_string on big blocks;
+    # large_string offsets are int64, plain string int32 — reading the
+    # wrong width silently corrupts every downstream hash
+    off_dtype = np.int64 if pa.types.is_large_string(words.type) else np.int32
+    w_off = np.frombuffer(words.buffers()[1], dtype=off_dtype)[
         words.offset : words.offset + len(words) + 1
     ].astype(np.int64)
     starts, lens = w_off[:-1], np.diff(w_off)

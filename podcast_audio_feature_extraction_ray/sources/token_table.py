@@ -11,7 +11,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from podcast_audio_feature_extraction_ray.arrow_utils import list_array
-from podcast_audio_feature_extraction_ray.functions.scalar import word_tokens_np
+from podcast_audio_feature_extraction_ray.functions.scalar import word_tokens_arrow
 
 TOKEN_COLUMNS = ["doc_id", "tokens", "n_tok", "source", "seq_no"]
 
@@ -30,8 +30,7 @@ def documents_to_tokens(documents_ds, batch_size: int = 2048):
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pandas().to_numpy()
-        vals, offs = word_tokens_np(texts)
+        vals, offs = word_tokens_arrow(batch["text"])
         n = batch.num_rows
         return pa.table(
             {

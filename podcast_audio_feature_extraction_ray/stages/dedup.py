@@ -292,16 +292,22 @@ def simhash_pairs(
         aa, bb, dd = [], [], []
         for s, L in zip(starts[lens > 1], lens[lens > 1]):
             sub = hs[s : s + L]
+            # chunk BOTH axes: a degenerate corpus (e.g. many empty docs
+            # sharing simhash 0) makes one band-value run huge, and a
+            # (pair_chunk x L) temporary would be multi-GB; bounded
+            # (pair_chunk x pair_chunk) tiles over the upper triangle
             for c0 in range(0, int(L), pair_chunk):
                 c1 = min(c0 + pair_chunk, int(L))
-                x = sub[c0:c1, None] ^ sub[None, :]
-                d = hashing.popcount64(x.reshape(-1)).reshape(x.shape)
-                iu, ju = np.nonzero(d <= max_hamming)
-                keep = (iu + c0) < ju  # upper triangle only
-                if keep.any():
-                    aa.append(ids[s + c0 + iu[keep]])
-                    bb.append(ids[s + ju[keep]])
-                    dd.append(d[iu[keep], ju[keep]])
+                for d0 in range(c0, int(L), pair_chunk):
+                    d1 = min(d0 + pair_chunk, int(L))
+                    x = sub[c0:c1, None] ^ sub[None, d0:d1]
+                    d = hashing.popcount64(x.reshape(-1)).reshape(x.shape)
+                    iu, ju = np.nonzero(d <= max_hamming)
+                    keep = (iu + c0) < (ju + d0)  # upper triangle only
+                    if keep.any():
+                        aa.append(ids[s + c0 + iu[keep]])
+                        bb.append(ids[s + d0 + ju[keep]])
+                        dd.append(d[iu[keep], ju[keep]])
         cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
         return pa.table(
             {
@@ -442,17 +448,23 @@ def neardup_clusters(ds, pairs: "pd.DataFrame", id_col: str = "doc_id"):
             # union by min id keeps cluster_id = min(member ids)
             lo, hi = (rx, ry) if rx < ry else (ry, rx)
             parent[hi] = lo
-    cluster = {int(x): find(int(x)) for x in nodes}
-    ref = _ray.put(cluster)
+    # broadcast (sorted node ids, cluster ids) as ARRAYS; the corpus side
+    # resolves with one np.searchsorted per batch — no per-row Python
+    # (the j2_point_lookup pattern)
+    cluster_arr = np.array([find(int(x)) for x in nodes], dtype=np.int64)
+    ref = _ray.put((nodes.astype(np.int64), cluster_arr))
 
     def attach(batch: pa.Table) -> pa.Table:
-        cl = _ray.get(ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out = np.array([cl.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        nodes_s, cl = _ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nodes_s):
+            pos = np.clip(np.searchsorted(nodes_s, ids), 0, len(nodes_s) - 1)
+            hit = nodes_s[pos] == ids
+            out = np.where(hit, cl[pos], ids)
+        else:
+            out = ids
         batch = batch.append_column("cluster_id", pa.array(out))
-        return batch.append_column(
-            "keep", pa.array(out == ids.astype(np.int64))
-        )
+        return batch.append_column("keep", pa.array(out == ids))
 
     return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -477,52 +489,92 @@ def ngram_jaccard_verify(
     counting is a sorted run count inside the coarse block (no per-pair
     Python).
 
-    Returns (a, b, inter_n, union_n) for every candidate pair, both
-    sides' texts permitting (pairs referencing missing ids are dropped).
+    Returns (a, b, inter_n, union_n) for every candidate pair whose two
+    docs BOTH exist in the corpus (pairs referencing missing ids are
+    dropped). Docs with empty gram sets (empty/whitespace-only text) are
+    NOT dropped: presence is tracked separately from gram count, so a
+    pair of empty docs verifies as ``inter_n=0, union_n=0`` (minhash
+    gives empty docs identical sentinel signatures, so such candidate
+    pairs DO occur).
     """
     import ray as _ray
 
-    a_ids = pairs["a"].to_numpy()
-    b_ids = pairs["b"].to_numpy()
-    pair_id = np.arange(len(a_ids), dtype=np.int64)
-    # doc -> [(pair, side)] membership map, broadcast once
-    member: dict[int, list[tuple[int, int]]] = {}
-    for p, (x, y) in enumerate(zip(a_ids, b_ids)):
-        member.setdefault(int(x), []).append((p, 0))
-        member.setdefault(int(y), []).append((p, 1))
-    member_ref = _ray.put(member)
-    pair_ref = _ray.put((a_ids.astype(np.int64), b_ids.astype(np.int64)))
+    a_ids = pairs["a"].to_numpy().astype(np.int64)
+    b_ids = pairs["b"].to_numpy().astype(np.int64)
+    npairs = len(a_ids)
+    # doc -> (pair, side) memberships as SORTED FLAT ARRAYS (no dict):
+    # batch-side resolution is one searchsorted + vectorized expansion
+    m_doc = np.concatenate([a_ids, b_ids])
+    m_pair = np.concatenate([np.arange(npairs, dtype=np.int64)] * 2)
+    m_side = np.repeat(np.array([0, 1], dtype=np.int64), npairs)
+    order = np.argsort(m_doc, kind="stable")
+    m_doc, m_pair, m_side = m_doc[order], m_pair[order], m_side[order]
+    u_docs, u_start = np.unique(m_doc, return_index=True)
+    u_cnt = np.diff(np.append(u_start, len(m_doc)))
+    member_ref = _ray.put((u_docs, u_start, u_cnt, m_pair, m_side))
+    pair_ref = _ray.put((a_ids, b_ids))
+
+    def _empty():
+        return pa.table(
+            {
+                "__cb": pa.array([], type=pa.int64()),
+                "pair_id": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int64()),
+                "gram": pa.array([], type=pa.int64()),
+                "set_size": pa.array([], type=pa.int64()),
+                "marker": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def _rep_expand(counts: np.ndarray) -> np.ndarray:
+        """within-group positions 0..counts[i]-1, concatenated."""
+        tot = int(counts.sum())
+        return np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
 
     def doc_grams(batch: pa.Table) -> pa.Table:
-        mem = _ray.get(member_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.array([int(i) in mem for i in ids], dtype=bool)
-        if not mask.any():
-            return pa.table(
-                {
-                    "__cb": pa.array([], type=pa.int64()),
-                    "pair_id": pa.array([], type=pa.int64()),
-                    "side": pa.array([], type=pa.int64()),
-                    "gram": pa.array([], type=pa.int64()),
-                    "set_size": pa.array([], type=pa.int64()),
-                }
-            )
-        sub = batch.filter(pa.array(mask))
-        ids = ids[mask]
-        sg, sd, sizes = _gram_sets(sub[text_col], n)
-        # expand each doc's grams once per (pair, side) membership
-        outs = {"__cb": [], "pair_id": [], "side": [], "gram": [], "set_size": []}
+        u_docs_, u_start_, u_cnt_, m_pair_, m_side_ = _ray.get(member_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u_docs_) == 0:
+            return _empty()
+        pos = np.clip(np.searchsorted(u_docs_, ids), 0, len(u_docs_) - 1)
+        hit = u_docs_[pos] == ids
+        if not hit.any():
+            return _empty()
+        sub = batch.filter(pa.array(hit))
+        uidx = pos[hit]
+        sg, _, sizes = _gram_sets(sub[text_col], n)
         d_starts = np.concatenate([[0], np.cumsum(sizes)])
-        for di, i in enumerate(ids):
-            g = sg[d_starts[di] : d_starts[di + 1]]
-            for p, side in mem[int(i)]:
-                outs["__cb"].append(np.full(len(g), p % n_coarse, dtype=np.int64))
-                outs["pair_id"].append(np.full(len(g), p, dtype=np.int64))
-                outs["side"].append(np.full(len(g), side, dtype=np.int64))
-                outs["gram"].append(g.view(np.int64))
-                outs["set_size"].append(np.full(len(g), sizes[di], dtype=np.int64))
+        # expand to (doc, membership) rows
+        mk = u_cnt_[uidx]
+        rep_doc = np.repeat(np.arange(len(uidx), dtype=np.int64), mk)
+        gidx = np.repeat(u_start_[uidx], mk) + _rep_expand(mk)
+        dm_pair, dm_side = m_pair_[gidx], m_side_[gidx]
+        # gram rows: each (doc, membership) contributes sizes[doc] grams
+        gcnt = sizes[rep_doc]
+        rr = np.repeat(np.arange(len(rep_doc), dtype=np.int64), gcnt)
+        gram_vals = sg[np.repeat(d_starts[rep_doc], gcnt) + _rep_expand(gcnt)]
+        g_pair, g_side = dm_pair[rr], dm_side[rr]
+        # presence rows: exactly one per (doc, membership), carrying the
+        # doc's set size (0 for empty docs) — presence != non-empty
+        zeros_g = np.zeros(len(g_pair), dtype=np.int64)
+        pid_all = np.concatenate([g_pair, dm_pair])
         return pa.table(
-            {k: pa.array(np.concatenate(v) if v else np.empty(0, np.int64)) for k, v in outs.items()}
+            {
+                "__cb": pa.array(pid_all % n_coarse),
+                "pair_id": pa.array(pid_all),
+                "side": pa.array(np.concatenate([g_side, dm_side])),
+                "gram": pa.array(
+                    np.concatenate([gram_vals.view(np.int64), np.zeros(len(dm_pair), np.int64)])
+                ),
+                "set_size": pa.array(
+                    np.concatenate([zeros_g, sizes[rep_doc]])
+                ),
+                "marker": pa.array(
+                    np.concatenate([zeros_g, np.ones(len(dm_pair), np.int64)])
+                ),
+            }
         )
 
     def count_pairs(group: pa.Table) -> pa.Table:
@@ -530,29 +582,27 @@ def ngram_jaccard_verify(
         side = group["side"].to_numpy(zero_copy_only=False)
         gram = group["gram"].to_numpy(zero_copy_only=False)
         size = group["set_size"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, gram, pid))
-        pid, side, gram, size = pid[order], side[order], gram[order], size[order]
+        marker = group["marker"].to_numpy(zero_copy_only=False)
+        g = marker == 0
+        pid_g, side_g, gram_g = pid[g], side[g], gram[g]
+        order = np.lexsort((side_g, gram_g, pid_g))
+        pid_g, gram_g = pid_g[order], gram_g[order]
         # a gram appears at most once per side; adjacent equal (pid, gram)
-        # with different sides == one intersection hit
-        dup = np.zeros(len(pid), dtype=bool)
-        if len(pid) > 1:
-            dup[1:] = (pid[1:] == pid[:-1]) & (gram[1:] == gram[:-1])
-        inter_per_pair = np.bincount(pid[dup], minlength=0)
-        # per-pair per-side set sizes (first row of each (pid, side) run)
-        starts, _ = _run_bounds(pid, side)
-        ps_pid, ps_side, ps_size = pid[starts], side[starts], size[starts]
-        pids = np.unique(ps_pid)
-        sz = np.zeros((int(pids.max()) + 1 if len(pids) else 0, 2), dtype=np.int64)
-        sz[ps_pid, ps_side] = ps_size
-        both = (sz[:, 0] > 0) & (sz[:, 1] > 0)
-        keep = pids[both[pids]]
-        a_all, b_all = _ray.get(pair_ref)
-        inter = (
-            inter_per_pair[keep]
-            if len(inter_per_pair) > int(keep.max() if len(keep) else -1)
-            else np.pad(inter_per_pair, (0, int(keep.max()) + 1 - len(inter_per_pair)))[keep]
-        ) if len(keep) else np.empty(0, np.int64)
+        # == one intersection hit (at most 2 rows per (pid, gram))
+        dup = np.zeros(len(pid_g), dtype=bool)
+        if len(pid_g) > 1:
+            dup[1:] = (pid_g[1:] == pid_g[:-1]) & (gram_g[1:] == gram_g[:-1])
+        # presence/size matrix from the marker rows; -1 = side missing
+        p = marker == 1
+        pid_p, side_p, size_p = pid[p], side[p], size[p]
+        width = int(pid_p.max()) + 1 if len(pid_p) else 0
+        sz = np.full((width, 2), -1, dtype=np.int64)
+        sz[pid_p, side_p] = size_p
+        keep = np.flatnonzero((sz[:, 0] >= 0) & (sz[:, 1] >= 0))
+        inter_per_pair = np.bincount(pid_g[dup], minlength=width)[:width]
+        inter = inter_per_pair[keep]
         union = sz[keep, 0] + sz[keep, 1] - inter
+        a_all, b_all = _ray.get(pair_ref)
         return pa.table(
             {
                 "a": pa.array(a_all[keep], type=pa.int64()),

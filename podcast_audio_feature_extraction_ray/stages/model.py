@@ -39,10 +39,27 @@ DEFAULT_FEATURES = (
 def make_weights(path: str, n_classes: int = 4, n_features: int = 7, seed: int = 31337):
     """Write the deterministic integer weight matrix (n_classes x
     n_features, values in [-9, 9]) to ``path`` as .npy and return it.
-    The SQL oracle inlines the SAME matrix as literals (``weights_sql``)."""
+    The SQL oracle inlines the SAME matrix as literals (``weights_sql``).
+
+    Write is atomic (unique temp + ``os.replace``) and skipped when the
+    file already exists: two concurrent runs sharing the path must never
+    let an actor ``np.load`` a half-written file."""
+    import os
+    import tempfile
+
     rng = np.random.default_rng(seed)
     w = rng.integers(-9, 10, size=(n_classes, n_features), dtype=np.int64)
-    np.save(path, w)
+    if not os.path.exists(path):
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path) or ".", suffix=".npy.tmp"
+        )
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.save(fh, w)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return w
 
 

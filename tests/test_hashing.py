@@ -116,3 +116,26 @@ def test_hash_words_property_random_texts():
             sig[i], dedup.minhash_signature(texts[i], 32, 2, a, b)
         )
         assert int(sh[i]) == dedup.simhash64(texts[i])
+
+
+def test_hash_words_large_string_offsets():
+    """Ray Data can promote string columns to large_string (int64
+    offsets); hash_words must read the right offset width (round-2
+    ADVICE: silent hash corruption otherwise)."""
+    small = pa.array(TEXTS, type=pa.string())
+    large = pa.array(TEXTS, type=pa.large_string())
+    wh_s, off_s = H.hash_words(small)
+    wh_l, off_l = H.hash_words(large)
+    assert np.array_equal(off_s, off_l)
+    assert np.array_equal(wh_s, wh_l)
+
+
+def test_pow_table_no_overflow_warning():
+    """Intentional uint64 wraparound must not emit RuntimeWarning or
+    trip np.errstate(over='raise')."""
+    import podcast_audio_feature_extraction_ray.hashing as hh
+
+    hh._POW_CACHE = np.array([1], dtype=np.uint64)  # force regrow
+    with np.errstate(over="raise"):
+        t = hh._pow_table(70)
+    assert t[0] == 1 and len(t) >= 71

@@ -75,3 +75,32 @@ def test_langid_profiles_distinguish():
         .reset_index(drop=True)
     )
     assert list(got.lang) == ["en", "de", "fr"]
+
+
+def test_word_tokens_arrow_matches_loop():
+    """Vectorized Arrow tokenizer == the per-row loop reference,
+    including empty strings, runs of spaces, and multi-byte UTF-8
+    first chars (1..4 byte encodings)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from podcast_audio_feature_extraction_ray.functions.scalar import (
+        word_tokens_arrow,
+        word_tokens_np,
+    )
+
+    texts = [
+        "hello world",
+        "",
+        " ",
+        "a  b   c",
+        "  lead",
+        "trail  ",
+        "żółć ünïcode 中文 \U0001F600emoji x",
+        "one",
+    ]
+    want_v, want_o = word_tokens_np(np.array(texts, dtype=object))
+    for typ in (pa.string(), pa.large_string()):
+        got_v, got_o = word_tokens_arrow(pa.array(texts, type=typ))
+        assert np.array_equal(got_o, want_o), typ
+        assert np.array_equal(got_v, want_v), typ

@@ -299,3 +299,55 @@ def test_multimodal_stub_plumbing(docs_ds, docs_df):
     # real-codec path is explicitly gated
     with pytest.raises(NotImplementedError):
         mm.MediaDecoder(want_real=True)
+
+
+def test_ngram_jaccard_verify_empty_docs():
+    """Empty/whitespace docs share the minhash EMPTY_SENTINEL signature,
+    so the LSH emits candidate pairs for them; the verifier must KEEP
+    those pairs (inter_n=0, union_n from presence tracking), not drop
+    them (round-2 ADVICE)."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    docs = pa.table(
+        {
+            "doc_id": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+            "text": ["", "   ", "alpha beta gamma delta", "alpha beta gamma x", ""],
+        }
+    )
+    cands = pd.DataFrame(
+        {"a": [1, 1, 3, 1, 6], "b": [2, 5, 4, 3, 7]}  # (6,7) both missing -> dropped
+    )
+    got = (
+        dedup.ngram_jaccard_verify(rd.from_arrow(docs), cands)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = {
+        (1, 2): (0, 0),  # both empty
+        (1, 5): (0, 0),
+        (3, 4): (1, 3),  # 2 grams each, share "alpha beta gamma"
+        (1, 3): (0, 2),  # one empty side
+    }
+    assert {(r.a, r.b): (r.inter_n, r.union_n) for _, r in got.iterrows()} == want
+
+
+def test_simhash_pairs_degenerate_corpus_bounded():
+    """Many identical (empty-text) docs: one giant band-value run. The
+    pair kernel must tile BOTH axes (bounded temporaries) and still emit
+    every pair exactly once."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    n = 37
+    docs = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [""] * n,
+        }
+    )
+    got = dedup.simhash_pairs(rd.from_arrow(docs), pair_chunk=8).to_pandas()
+    # all-pairs at hamming 0, each exactly once
+    assert len(got) == n * (n - 1) // 2
+    assert (got.hamming == 0).all()
+    assert got.duplicated(["a", "b"]).sum() == 0
+    assert (got.a < got.b).all()
