@@ -253,3 +253,84 @@ def test_sessions_meta_ds_equivalent(tiny_tokens, tiny_df):
         meta_ds=meta,
     ).to_pandas()
     assert_windows_equal(fast, base[list(fast.columns)])
+
+
+def _mk_hot_cold():
+    """3 hot sessions (multi-row) + cold tail; threshold 400 ticks."""
+    rng = np.random.default_rng(11)
+    parts = [
+        pa.table(
+            {
+                "doc_id": np.full(40, -(k + 1), dtype=np.int64),
+                "seq_no": np.arange(40, dtype=np.int64),
+                "n_tok": rng.integers(5, 40, size=40).astype(np.int32),
+            }
+        )
+        for k in range(3)
+    ]
+    cold = pa.table(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "seq_no": np.zeros(500, dtype=np.int64),
+            "n_tok": np.full(500, 7, dtype=np.int32),
+        }
+    )
+    return pa.concat_tables([cold, *parts])
+
+
+def _idx_equal(a, b):
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k][0], b[k][0])
+        np.testing.assert_array_equal(a[k][1], b[k][1])
+        assert a[k][2] == b[k][2]
+
+
+def test_hot_index_saturated_sketch_exact_path():
+    """A tiny sketch (every bucket trips) must fall back to the exact
+    distributed groupby path and return the identical index."""
+    tbl = _mk_hot_cold()
+    base = seg._hot_session_index(
+        rd.from_arrow(tbl), ("doc_id",), ("seq_no",), threshold_ticks=400
+    )
+    sat = seg._hot_session_index(
+        rd.from_arrow(tbl), ("doc_id",), ("seq_no",), threshold_ticks=400,
+        sketch_buckets=8,
+    )
+    assert len(base) == 3
+    _idx_equal(base, sat)
+
+
+def test_hot_index_distributed_collect_path():
+    """driver_collect_limit=1 forces the distributed per-session
+    prefix-sum path; index must be identical to the driver-side combine."""
+    tbl = _mk_hot_cold()
+    base = seg._hot_session_index(
+        rd.from_arrow(tbl), ("doc_id",), ("seq_no",), threshold_ticks=400
+    )
+    dist = seg._hot_session_index(
+        rd.from_arrow(tbl), ("doc_id",), ("seq_no",), threshold_ticks=400,
+        driver_collect_limit=1,
+    )
+    _idx_equal(base, dist)
+
+
+def test_hot_split_windows_with_fallback_index(tiny_tokens, tiny_df):
+    """End-to-end: segment_sessions windows are identical when the hot
+    index came from the saturated-sketch fallback (monkeypatch-free:
+    wrap the index fn)."""
+    spec = WindowSpec(96, 48, "frame")
+    orig = seg._hot_session_index
+    try:
+        seg._hot_session_index = lambda ds, sk, ok, thr, meta_ds=None: orig(
+            ds, sk, ok, thr, meta_ds=meta_ds, sketch_buckets=8,
+            driver_collect_limit=1,
+        )
+        got = seg.segment_sessions(
+            rd.from_arrow(tiny_tokens), spec, num_buckets=8, split_ticks=64,
+            with_aggregates=True,
+        ).to_pandas()
+    finally:
+        seg._hot_session_index = orig
+    want = oracle.oracle_segment(tiny_df, spec)
+    assert_windows_equal(got, want)
