@@ -167,6 +167,136 @@ def write_resumable(
     return n
 
 
+def pending_fragments(files, out_dir: str) -> list[int]:
+    """Fragment indices not yet covered by a completed-partition manifest
+    whose recorded lineage matches the file (torn/mismatched manifests
+    count as pending)."""
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return list(range(len(files)))
+    pending = []
+    for i, f in enumerate(files):
+        mpath = os.path.join(mdir, f"part-{i:05d}.json")
+        try:
+            with open(mpath) as fh:
+                m = json.load(fh)
+            ok = m.get("input_lineage") == [os.path.abspath(f)] and m.get(
+                "num_partitions"
+            ) == len(files)
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            ok = False
+        if not ok:
+            pending.append(i)
+    return pending
+
+
+def write_resumable_fragments(
+    files,
+    batch_fn,
+    out_dir: str,
+    read_columns=None,
+    sort_within=("doc_id", "source", "ts_start"),
+):
+    """Fragment-aligned resumable write: partition id = input FILE index.
+
+    The reference's whole resume story is about not redoing the work
+    (skip-if-output-exists ``src/features/FeatureExtractor.py:68-90``,
+    failed-set anti-join ``src/search/index.py:124-160``: one output
+    file per input episode, rerun processes only the missing ones). This
+    is that semantics at fragment granularity: each input parquet file
+    maps to one output partition + manifest recording its lineage, and a
+    crashed-run resume builds the read from ``pending = all_fragments
+    EXCEPT completed`` BEFORE ``read_parquet`` — the resume's read task
+    count is proportional to pending fragments, not total input.
+
+    ``batch_fn`` must be a stateless per-batch transform (pa.Table ->
+    pa.Table) whose output rows derive only from the batch's rows — true
+    for the row-per-session segmenter family. Output is byte-identical
+    across kill/restart: per-partition sort + atomic rename.
+
+    Returns the number of partitions written this run (0 = no-op resume,
+    in which case NO input is read at all).
+    """
+    import ray.data as rd
+
+    files = [os.path.abspath(f) for f in files]
+    pending = pending_fragments(files, out_dir)
+    if not pending:
+        return 0
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    pid_of_path = {f: i for i, f in enumerate(files)}
+    n_files = len(files)
+    sort_cols = [c for c in (sort_within or ())]
+
+    ds = rd.read_parquet(
+        [files[i] for i in pending], columns=read_columns, include_paths=True
+    )
+
+    def transform(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        pids = np.array(
+            [pid_of_path[os.path.abspath(p)] for p in paths], dtype=np.int64
+        )
+        out_parts = []
+        # a batch is almost always single-fragment (blocks come from one
+        # read task); split defensively on fragment change
+        bounds = np.flatnonzero(np.concatenate([[True], pids[1:] != pids[:-1]]))
+        bounds = np.append(bounds, len(pids))
+        body = batch.drop_columns(["path"])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            out = batch_fn(body.slice(s, e - s))
+            out_parts.append(
+                out.append_column(
+                    "__part", pa.array(np.full(out.num_rows, pids[s], dtype=np.int64))
+                )
+            )
+        return pa.concat_tables(out_parts)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        t0 = time.time()
+        pid = int(group["__part"][0].as_py())
+        if sort_cols:
+            order = pa.compute.sort_indices(
+                group.select(sort_cols),
+                sort_keys=[(c, "ascending") for c in sort_cols],
+            )
+            group = group.take(order)
+        group = group.drop_columns(["__part"])
+        pdir = os.path.join(out_dir, f"part={pid:05d}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        dst = os.path.join(pdir, "data.parquet")
+        pq.write_table(group, tmp)
+        os.replace(tmp, dst)
+        man = {
+            "partition_id": pid,
+            "key_cols": [],
+            "num_partitions": n_files,
+            "rows_out": group.num_rows,
+            "bytes_out": os.path.getsize(dst),
+            "wall_time_s": round(time.time() - t0, 4),
+            "input_lineage": [files[pid]],
+        }
+        mtmp = os.path.join(manifest_dir(out_dir), f".part-{pid:05d}.tmp")
+        mdst = os.path.join(manifest_dir(out_dir), f"part-{pid:05d}.json")
+        with open(mtmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(mtmp, mdst)
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], type=pa.int64()),
+                "rows_out": pa.array([group.num_rows], type=pa.int64()),
+            }
+        )
+
+    written = (
+        ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(write_group, batch_format="pyarrow")
+    )
+    return written.count()
+
+
 def read_output(out_dir: str):
     """Read back a resumable output directory as a Dataset."""
     import glob

@@ -82,3 +82,71 @@ def test_resume_layout_mismatch_refused(tiny_tokens, tmp_path):
     )
     with pytest.raises(ValueError, match="layout mismatch"):
         mf.write_resumable(win, out, key_cols=("doc_id",), num_partitions=8)
+
+
+def test_fragment_resume_reads_only_pending(tiny_tokens, tmp_path):
+    """Partial-crash resume with input-fragment exclusion: partitions map
+    1:1 to input files via manifest lineage; resuming after k of n
+    partitions were lost (i) re-reads ONLY the pending fragments, (ii)
+    leaves completed partitions untouched, (iii) reproduces the full run
+    byte-for-byte."""
+    import numpy as np
+    import pyarrow as pa
+
+    spec = WindowSpec(16, 8, "frame")
+
+    def batch_fn(b: pa.Table) -> pa.Table:
+        return seg.segment_batch(
+            b, spec, key_cols=("doc_id", "source", "seq_no"), with_aggregates=True,
+            emit_tokens=False,
+        )
+
+    # 6 input fragments
+    frag_dir = tmp_path / "frags"
+    os.makedirs(frag_dir)
+    n = tiny_tokens.num_rows
+    bounds = np.linspace(0, n, 7).astype(int)
+    files, frag_rows = [], []
+    for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        p = str(frag_dir / f"f{i}.parquet")
+        pq.write_table(tiny_tokens.slice(s, e - s), p)
+        files.append(p)
+        frag_rows.append(e - s)
+
+    sortw = ("doc_id", "source", "seq_no", "ts_start")
+    full = str(tmp_path / "full")
+    assert mf.write_resumable_fragments(files, batch_fn, full, sort_within=sortw) == 6
+    h_full = _hash_dir(full)
+    assert len(h_full) == 6
+
+    # crashed run: 6 written, then partitions 1 and 4 lost (data+manifest)
+    crash = str(tmp_path / "crash")
+    assert mf.write_resumable_fragments(files, batch_fn, crash, sort_within=sortw) == 6
+    for pid in (1, 4):
+        os.remove(os.path.join(crash, f"part={pid:05d}", "data.parquet"))
+        os.remove(os.path.join(crash, "_manifest", f"part-{pid:05d}.json"))
+    keep_mtimes = {
+        pid: os.path.getmtime(os.path.join(crash, f"part={pid:05d}", "data.parquet"))
+        for pid in (0, 2, 3, 5)
+    }
+    assert mf.pending_fragments(files, crash) == [1, 4]
+
+    # resume with a counting transform: only pending fragments' rows flow
+    cnt_dir = tmp_path / "cnt"
+    os.makedirs(cnt_dir)
+
+    def counting_fn(b: pa.Table) -> pa.Table:
+        import uuid
+
+        with open(cnt_dir / f"{uuid.uuid4().hex}", "w") as fh:
+            fh.write(str(b.num_rows))
+        return batch_fn(b)
+
+    assert mf.write_resumable_fragments(files, counting_fn, crash, sort_within=sortw) == 2
+    rows_seen = sum(int(open(f).read()) for f in glob.glob(str(cnt_dir / "*")))
+    assert rows_seen == frag_rows[1] + frag_rows[4]  # NOT the full input
+    for pid, mt in keep_mtimes.items():
+        assert os.path.getmtime(os.path.join(crash, f"part={pid:05d}", "data.parquet")) == mt
+    assert _hash_dir(crash) == h_full
+    # no-op resume: nothing pending, nothing read
+    assert mf.write_resumable_fragments(files, batch_fn, crash, sort_within=sortw) == 0
