@@ -118,6 +118,32 @@ def backfill_broadcast(
     )
 
 
+def _discover_hot_asof(windows_ds, key, cutoff_col, hot_threshold: int):
+    """Per-key (window count, max cutoff) for keys above ``hot_threshold``
+    windows: per-batch pandas partials -> small driver combine. Callers at
+    corpus scale should precompute this (e.g. from the session metadata)
+    and pass ``hot_index`` instead of paying a second windows pass."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: batch[c].to_pandas() for c in key})
+        if cutoff_col is not None:
+            df["__t"] = batch[cutoff_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            df["__t"] = _default_cutoff(batch)
+        g = df.groupby(list(key), sort=False)["__t"].agg(["count", "max"]).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = windows_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    g = parts.groupby(list(key)).agg(count=("count", "sum"), mx=("max", "max"))
+    g = g[g["count"] > hot_threshold]
+    return {
+        (k if isinstance(k, tuple) else (k,)): (int(c), int(m))
+        for k, c, m in zip(g.index, g["count"], g["mx"])
+    }
+
+
 def backfill_join(
     windows_ds,
     events_ds,
@@ -126,6 +152,9 @@ def backfill_join(
     value_col: str = "value",
     batch_size: int = 8192,
     cutoff_col: str | None = None,
+    hot_threshold: int | None = None,
+    hot_index: "dict | None" = None,
+    chunk_rows: int = 65_536,
 ):
     """Scale path: MERGE-PATH as-of join via tagged union + ONE hash shuffle.
 
@@ -138,10 +167,20 @@ def backfill_join(
     timestamp-sorted partitions": each key's rows meet exactly once, no
     cross-product, list payloads ride the groupby shuffle untouched.
 
-    Partitioning assumption: one key's windows+events fit in one group
-    task (hot keys: pre-split windows by tick range and re-union — the
-    events side is sparse by construction, F3).
+    Hot-key splitting (the segmenter's tick-chunk pattern,
+    ``segment.py``): keys whose window count exceeds ``hot_threshold``
+    (or any key in an explicit ``hot_index`` of ``key_tuple -> (n_rows,
+    max_cutoff)``) are SPLIT by cutoff tick range into chunks of
+    ~``chunk_rows`` windows; each of that key's (sparse) events is
+    duplicated into its own chunk and every later one, so chunk ``c``
+    holds exactly the events any of its windows can legally read. The
+    group key becomes ``(key..., chunk)`` — a Zipf-hot key no longer
+    serializes one group task. Cold keys ride chunk ``-1`` untouched.
+    Auto-discovery (``hot_threshold``) costs one extra metadata pass over
+    ``windows_ds``; at corpus scale pass a precomputed ``hot_index``.
     """
+    import ray as _ray
+
     key = tuple(key)
     win_schema = windows_ds.schema()
     payload_cols = [
@@ -149,6 +188,35 @@ def backfill_join(
         for n, t in zip(win_schema.names, win_schema.types)
         if n not in key
     ]
+
+    if hot_index is None and hot_threshold is not None:
+        hot_index = _discover_hot_asof(windows_ds, key, cutoff_col, hot_threshold)
+    hot_ref = None
+    if hot_index:
+        hot_keys = list(hot_index)
+        hot_mi = pd.MultiIndex.from_tuples(hot_keys, names=list(key))
+        nch = np.array(
+            [max(1, -(-hot_index[k][0] // chunk_rows)) for k in hot_keys],
+            dtype=np.int64,
+        )
+        # C * n_chunks >= max_t + 1, so every in-range tick maps to a chunk
+        C_arr = np.array(
+            [
+                max(1, -(-(hot_index[k][1] + 1) // int(n)))
+                for k, n in zip(hot_keys, nch)
+            ],
+            dtype=np.int64,
+        )
+        hot_ref = _ray.put((hot_mi, C_arr, nch))
+
+    def _chunk_of(batch: pa.Table, t: np.ndarray) -> np.ndarray:
+        """Window-side chunk id per row (-1 = cold key)."""
+        hot_mi_, C_, _n = _ray.get(hot_ref)
+        mi = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in key])
+        pos = hot_mi_.get_indexer(mi)
+        hotr = pos >= 0
+        safe = np.where(hotr, pos, 0)
+        return np.where(hotr, t // C_[safe], -1).astype(np.int64)
 
     def tag_windows(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in key}
@@ -160,7 +228,11 @@ def backfill_join(
         cols["__v"] = pa.nulls(batch.num_rows, type=pa.float64())
         for n_, t_ in payload_cols:
             cols[n_] = batch[n_].cast(t_) if batch[n_].type != t_ else batch[n_]
-        return pa.table(cols)
+        out = pa.table(cols)
+        if hot_ref is not None:
+            t = np.asarray(out["__t"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            out = out.append_column("__c", pa.array(_chunk_of(batch, t)))
+        return out
 
     def tag_events(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in key}
@@ -169,7 +241,29 @@ def backfill_join(
         cols["__v"] = batch[value_col].cast(pa.float64())
         for n_, t_ in payload_cols:
             cols[n_] = pa.nulls(batch.num_rows, type=t_)
-        return pa.table(cols)
+        out = pa.table(cols)
+        if hot_ref is None:
+            return out
+        # duplicate each hot event into its own chunk and every later
+        # chunk (events are the sparse side); cold events ride chunk -1
+        hot_mi_, C_, nch_ = _ray.get(hot_ref)
+        mi = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in key])
+        pos = hot_mi_.get_indexer(mi)
+        t = out["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hotr = pos >= 0
+        safe = np.where(hotr, pos, 0)
+        own = t // np.maximum(C_[safe], 1)
+        # events past the last window's cutoff match nothing -> 0 copies
+        reps = np.where(hotr, np.maximum(nch_[safe] - own, 0), 1).astype(np.int64)
+        idx = np.repeat(np.arange(out.num_rows, dtype=np.int64), reps)
+        within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        ch = np.where(
+            np.repeat(hotr, reps), np.repeat(own, reps) + within, -1
+        ).astype(np.int64)
+        out = out.take(pa.array(idx))
+        return out.append_column("__c", pa.array(ch))
 
     tagged = windows_ds.map_batches(
         tag_windows, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
@@ -196,7 +290,8 @@ def backfill_join(
         last_w = last[win_mask]
         ok = last_w >= 0
         safe = np.where(ok, last_w, 0)
-        out = g.filter(pa.array(win_mask)).drop_columns(["__is_ev", "__v"])
+        drop = ["__is_ev", "__v"] + (["__c"] if hot_ref is not None else [])
+        out = g.filter(pa.array(win_mask)).drop_columns(drop)
         out = out.rename_columns(
             ["ts_cutoff" if c == "__t" else c for c in out.column_names]
         )
@@ -204,7 +299,8 @@ def backfill_join(
         out = out.append_column("bf_ts", pa.array(t[safe], mask=~ok))
         return out
 
-    return tagged.groupby(list(key)).map_groups(merge, batch_format="pyarrow")
+    group_cols = list(key) + (["__c"] if hot_ref is not None else [])
+    return tagged.groupby(group_cols).map_groups(merge, batch_format="pyarrow")
 
 
 def range_count_broadcast(

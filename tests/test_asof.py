@@ -92,3 +92,75 @@ def test_sessionize_events_matches_pandas():
     np.testing.assert_array_equal(
         got["session_no"].to_numpy(), want["session_no"].to_numpy()
     )
+
+
+def test_backfill_join_hot_key_split(windows_and_events):
+    """Hot-key tick-chunk splitting: with a threshold that trips on the
+    skewed keys, the join must produce identical results while splitting
+    each hot key into multiple (key, chunk) group tasks."""
+    win_ds, events, want = windows_and_events
+    got = asof.backfill_join(
+        win_ds, rd.from_arrow(events), hot_threshold=20, chunk_rows=16
+    ).to_pandas()
+    _check(got, want)
+
+
+def test_backfill_join_one_monster_key():
+    """One key holds ~50% of all windows: with hot splitting it must be
+    processed as MULTIPLE chunks (observable via the discovered index and
+    the chunk math) and match the broadcast-oracle output exactly."""
+    import pyarrow as pa
+
+    n_hot, n_cold_keys = 4000, 40
+    rng = np.random.default_rng(5)
+    win_tbls = [
+        pa.table(
+            {
+                "doc_id": ["hot"] * n_hot,
+                "source": ["s"] * n_hot,
+                "win_id": np.arange(n_hot, dtype=np.int64),
+                "ts_start": np.arange(n_hot, dtype=np.int64) * 8,
+                "ts_end": np.arange(n_hot, dtype=np.int64) * 8 + 16,
+            }
+        )
+    ]
+    for k in range(n_cold_keys):
+        m = 100
+        win_tbls.append(
+            pa.table(
+                {
+                    "doc_id": [f"c{k}"] * m,
+                    "source": ["s"] * m,
+                    "win_id": np.arange(m, dtype=np.int64),
+                    "ts_start": np.arange(m, dtype=np.int64) * 8,
+                    "ts_end": np.arange(m, dtype=np.int64) * 8 + 16,
+                }
+            )
+        )
+    windows = pa.concat_tables(win_tbls)
+    ev_keys = ["hot"] * 25 + [f"c{k}" for k in range(n_cold_keys) for _ in (0,)]
+    ev_ts = list(rng.integers(0, n_hot * 8, size=25)) + list(
+        rng.integers(0, 800, size=n_cold_keys)
+    )
+    events = pa.table(
+        {
+            "doc_id": ev_keys,
+            "source": ["s"] * len(ev_keys),
+            "ts": np.array(ev_ts, dtype=np.int64),
+            "value": rng.normal(size=len(ev_keys)),
+        }
+    )
+    # discovery must find exactly the hot key, split into >= 4 chunks
+    hot = asof._discover_hot_asof(
+        rd.from_arrow(windows), ("doc_id", "source"), None, hot_threshold=1000
+    )
+    assert set(hot) == {("hot", "s")}
+    assert -(-hot[("hot", "s")][0] // 1024) >= 3
+    got = asof.backfill_join(
+        rd.from_arrow(windows), rd.from_arrow(events),
+        hot_threshold=1000, chunk_rows=1024,
+    ).to_pandas()
+    want = asof.backfill_broadcast(
+        rd.from_arrow(windows), events.to_pandas(), concurrency=2
+    ).to_pandas()
+    _check(got, want.rename(columns={}))
