@@ -55,6 +55,16 @@ def w2_chunked_frame_windows(sf_dir: str):
     ).select_columns(WIN_COLS)
 
 
+def w2b_sidechannel_sessions(sf_dir: str):
+    """W2 on the zero-copy side-channel exchange (``payload="sidechannel"``,
+    ``stages/segment.py``): token values stay in the object store and only
+    pointer metadata rides the sort — output must be bit-identical to W1,
+    hash-verified against the same SQL oracle."""
+    return seg.segment_sessions(
+        _tokens(sf_dir), FRAME_Q, payload="sidechannel", num_buckets=32
+    ).select_columns(WIN_COLS)
+
+
 def w3_segment_windows(sf_dir: str):
     """W3: inclusive-bound transcript-style segments + per-window counts
     (reference ``src/search/index.py:55-110``)."""

@@ -225,13 +225,19 @@ def _session_group_fn(
 
 
 def _segment_sorted_block(
-    block: pa.Table, spec: WindowSpec, session_key: tuple, opts: dict
+    block: pa.Table,
+    spec: WindowSpec,
+    session_key: tuple,
+    opts: dict,
+    buffers: tuple | None = None,
 ) -> pa.Table:
     """Segment EVERY session in a key-sorted block with one vectorized pass.
 
-    Sessions are detected by adjacent-key change; because Arrow list rows
-    are contiguous in the child values buffer, each session's token stream
-    is already a contiguous span — no concatenation, no per-session loop.
+    Sessions are detected by adjacent-key change; each session's token
+    stream must be a contiguous span of the values buffer — true for
+    Arrow list rows (default: read from ``block["tokens"]``) and for the
+    side-channel gather (pass ``buffers=(values, row_start, row_len)``,
+    spans contiguous within each session). No per-session loop.
     """
     n = block.num_rows
     if n == 0:
@@ -251,11 +257,15 @@ def _segment_sorted_block(
         )
         start[1:] |= neq.astype(bool)
     first_rows = np.flatnonzero(start)
-    values, offsets = list_buffers(block["tokens"])
-    row_len = np.diff(offsets)
-    sess_val_start = offsets[:-1][first_rows]
+    if buffers is None:
+        values, offsets = list_buffers(block["tokens"])
+        row_start, row_len = offsets[:-1], np.diff(offsets)
+    else:
+        values, row_start, row_len = buffers
+    sess_val_start = row_start[first_rows]
     bounds = np.append(first_rows, n)
-    sess_len = offsets[bounds[1:]] - offsets[bounds[:-1]]
+    cs = np.concatenate([[0], np.cumsum(row_len, dtype=np.int64)])
+    sess_len = cs[bounds[1:]] - cs[bounds[:-1]]
     key_tbl = block.select(list(session_key)).take(pa.array(first_rows))
     return _emit_windows(
         key_tbl, list(session_key), values,
@@ -265,6 +275,71 @@ def _segment_sorted_block(
         spec=spec,
         **opts,
     )
+
+
+class _BufRegistry:
+    """Tiny bookkeeping actor for the side-channel payload exchange: maps
+    ``uid -> ObjectRef`` of a tag task's token-values array. Holding the
+    refs pins the objects until the registry (and the Dataset plan whose
+    closures hold its handle) is garbage-collected. ``num_cpus=0``."""
+
+    def __init__(self):
+        self._refs: dict = {}
+
+    def register(self, uid: int, ref_list) -> None:
+        # ref wrapped in a list so Ray does NOT auto-dereference it
+        self._refs[uid] = ref_list[0]
+
+    def fetch(self, uids):
+        return [self._refs[u] for u in uids]  # KeyError -> caller retries
+
+
+def _gather_payload(
+    arrs: dict, uid: np.ndarray, voff: np.ndarray, vlen: np.ndarray, key: str = "gp"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather per-row token spans from side-channel arrays into ONE dense
+    buffer in row order. Returns (values, row_start, row_len): row ``j``
+    is ``values[row_start[j] : row_start[j]+row_len[j]]`` and consecutive
+    rows tile the buffer.
+
+    One global-index gather: the source arrays are laid end-to-end once
+    (sequential memcpy), per-row global starts are ``base[code] + voff``,
+    and a single ``np.take(..., out=)`` fills the output. All large
+    temporaries live in the per-worker arena (``out=`` ufuncs into warm
+    pages) — fresh pages cost 40x on this host (``arena.py``), and the
+    naive per-uid fancy-indexed scatter measured SLOWER than the inline
+    exchange it replaced."""
+    from podcast_audio_feature_extraction_ray.arena import ARENA
+
+    vlen = np.asarray(vlen, dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(vlen)])
+    total = int(cs[-1])
+    voff = np.asarray(voff, dtype=np.int64)
+    n = len(vlen)
+    out = ARENA.get(key + "_out", total, np.int32)
+    if n == 0:
+        return out, cs[:-1], vlen
+    # Row-RUN memcpy gather: consecutive rows reading adjacent spans of
+    # the same source array merge into one slice copy (destination is
+    # always adjacent — dense tiling). Each iteration is a C-level
+    # memcpy of a whole run, so the Python loop is bounded by run count
+    # (<= rows, COLLAPSES for doc-contiguous inputs), never tokens.
+    # Measured fastest here by a wide margin: a per-element fancy gather
+    # pays one cache miss per token, and Arrow's chunked list `take`
+    # concatenates the full source chunks per task.
+    brk = np.ones(n, dtype=bool)
+    if n > 1:
+        brk[1:] = (uid[1:] != uid[:-1]) | (voff[:-1] + vlen[:-1] != voff[1:])
+    run_starts = np.flatnonzero(brk)
+    run_rows = np.diff(np.append(run_starts, n))
+    ends = run_starts + run_rows - 1
+    r_src = voff[run_starts].tolist()
+    r_dst = cs[run_starts].tolist()
+    r_len = ((voff[ends] + vlen[ends]) - voff[run_starts]).tolist()
+    r_uid = uid[run_starts].tolist()
+    for s_, d_, l_, u_ in zip(r_src, r_dst, r_len, r_uid):
+        out[d_ : d_ + l_] = arrs[u_][s_ : s_ + l_]
+    return out, cs[:-1], vlen
 
 
 def _sum_runs(b: np.ndarray, n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -378,12 +453,12 @@ def _hot_session_index(
 
     # metadata rows of hot sessions are small relative to their token
     # counts; combine on the driver below ``driver_collect_limit`` rows,
-    # else compute the per-session prefix sums distributed (the rows stay
-    # in the object store until the bounded index dict is built)
-    hot_rows = meta.map_batches(
-        only_hot, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    if hot_rows.count() > driver_collect_limit:  # 10^12-scale path
+    # else compute the per-session prefix sums distributed (the common
+    # path stays ONE execution — a materialize-then-count here costs an
+    # extra barrier on every run to make the rare path cheaper)
+    hot_rows = meta.map_batches(only_hot, batch_format="pyarrow", zero_copy_batch=True)
+    hot = hot_rows.to_pandas()
+    if len(hot) > driver_collect_limit:  # 10^12-scale path
 
         def per_session(group: pd.DataFrame) -> pd.DataFrame:
             g = group.sort_values(list(ok), kind="mergesort").copy()
@@ -397,7 +472,6 @@ def _hot_session_index(
             .to_pandas()
         )
     else:
-        hot = hot_rows.to_pandas()
         hot = hot.sort_values([*sk, *ok], kind="mergesort").reset_index(drop=True)
         n = hot["n_tok"].to_numpy(dtype=np.int64)
         cum = np.concatenate([[0], np.cumsum(n)[:-1]])
@@ -433,6 +507,7 @@ def segment_sessions(
     impl: str = "bucket",
     split_ticks: int | None = None,
     meta_ds=None,
+    payload: str = "inline",
     **opts,
 ):
     """Multi-row sessionize + segment: one hash shuffle, two impls.
@@ -455,8 +530,23 @@ def segment_sessions(
     Zipf-hot doc no longer serializes one task. Requires a cheap
     metadata-only prefix-sum pre-pass. Lag history and lead are carried
     across cuts by widening the duplication range by ``lag``/``lead``.
+
+    ``payload="sidechannel"`` (bucket impl): the ZERO-COPY exchange.
+    Token values never ride the sort — each tag task ``ray.put``s its
+    batch's values array once and ships only ``(uid, offset, len)``
+    pointers (~40 B/row vs ~1 KB/row); per-bucket tasks read the arrays
+    straight from the object store (shared-memory, not copied) and
+    gather each session's stream in one vectorized scatter. This removes
+    two full materializations of the token bytes (Ray's SortReduce
+    concat-sort-take and the per-bucket ``take``), measured >2x on the
+    sessions pipeline. Trade-off (why it is opt-in): the payload objects
+    are owned by the map workers, so a lost worker makes its uids
+    unrecoverable mid-run — a retried reduce task cannot re-derive them
+    (lineage stops at ``ray.put``). Use for throughput on healthy
+    clusters; default ``inline`` keeps full task-lineage recovery.
     """
     sk, ok = tuple(session_key), tuple(order_key)
+    sidechannel = payload == "sidechannel" and impl == "bucket"
 
     if impl == "groups":
         ct = chunk_ticks
@@ -468,6 +558,10 @@ def segment_sessions(
 
     import pandas as pd
     import ray as _ray
+
+    registry = None
+    if sidechannel:
+        registry = _ray.remote(num_cpus=0)(_BufRegistry).remote()
 
     lag_n = int(opts.get("lag") or 0)
     lead_n = int(opts.get("lead") or 0)
@@ -519,11 +613,25 @@ def segment_sessions(
         return h, (hb % np.uint64(num_buckets)).astype(np.int64)
 
     def tag(batch: pa.Table) -> pa.Table:
+        voff = vlen = None
+        if sidechannel:
+            # payload stays OUT of the exchange: values go to the object
+            # store once; rows carry only (uid, offset, len) pointers
+            values_all, offsets_all = list_buffers(batch["tokens"])
+            voff = offsets_all[:-1].astype(np.int64, copy=True)
+            vlen = np.diff(offsets_all)
+            n_tok_np = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+            batch = batch.drop_columns(
+                [c for c in ("tokens", "n_tok") if c in batch.column_names]
+            )
         kdf = pd.DataFrame({c: batch[c].to_pandas() for c in sk})
         chunk = np.full(batch.num_rows, -1, dtype=np.int64)
         if hot_ref is not None:
             _hot_idx, hot_mi, comp_all, all_starts, SEQ_BIG = _ray.get(hot_ref)
-            n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if sidechannel:
+                n_tok = n_tok_np
+            else:
+                n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
             seq = batch[ok[0]].to_numpy(zero_copy_only=False).astype(np.int64)
             # ONE vectorized hash lookup for all rows x all hot keys
             pos = hot_mi.get_indexer(pd.MultiIndex.from_frame(kdf))
@@ -552,7 +660,23 @@ def segment_sessions(
                 batch = batch.take(pa.array(all_idx))
                 kdf = kdf.iloc[all_idx].reset_index(drop=True)
                 chunk = all_chunk
+                if sidechannel:
+                    # duplication copies 16 bytes of pointers, not tokens
+                    voff, vlen = voff[all_idx], vlen[all_idx]
         h, bucket = _bucket_of(kdf, np.where(chunk >= 0, chunk, 0) * (chunk >= 0))
+        if sidechannel:
+            import os as _os
+
+            uid = int.from_bytes(_os.urandom(8), "little") >> 1
+            ref = _ray.put(np.ascontiguousarray(values_all))
+            # synchronous register: the uid is resolvable before this tag
+            # task's output block exists, so per_bucket can never miss it
+            _ray.get(registry.register.remote(uid, [ref]))
+            batch = batch.append_column(
+                "__uid", pa.array(np.full(batch.num_rows, uid, dtype=np.int64))
+            )
+            batch = batch.append_column("__voff", pa.array(voff))
+            batch = batch.append_column("__vlen", pa.array(vlen))
         batch = batch.append_column("__h", pa.array(h.view(np.int64)))
         batch = batch.append_column("__chunk", pa.array(chunk))
         return batch.append_column("__bucket", pa.array(bucket))
@@ -566,18 +690,38 @@ def segment_sessions(
             sort_keys=[(c, "ascending") for c in ("__h", *sk, "__chunk", *ok)],
         )
         block = group.take(order).drop_columns(["__bucket", "__h"])
+        uid = voff = vlen = arrs = None
+        if sidechannel:
+            uid = block["__uid"].to_numpy(zero_copy_only=False)
+            voff = block["__voff"].to_numpy(zero_copy_only=False)
+            vlen = block["__vlen"].to_numpy(zero_copy_only=False)
+            uniq = [int(u) for u in np.unique(uid)]
+            refs = _ray.get(registry.fetch.remote(uniq)) if uniq else []
+            arrs = dict(zip(uniq, _ray.get(refs)))
+            block = block.drop_columns(["__uid", "__voff", "__vlen"])
         chunk_col = block["__chunk"].to_numpy(zero_copy_only=False)
         normal_mask = chunk_col < 0
         outs = []
         normal = block.filter(pa.array(normal_mask)).drop_columns(["__chunk"])
         if normal.num_rows:
-            outs.append(_segment_sorted_block(normal, spec, sk, opts))
+            bufs = None
+            if sidechannel:
+                nm = np.flatnonzero(normal_mask)
+                bufs = _gather_payload(arrs, uid[nm], voff[nm], vlen[nm], key="gp_n")
+            outs.append(_segment_sorted_block(normal, spec, sk, opts, buffers=bufs))
         if not normal_mask.all():
             hot_idx = _ray.get(hot_ref)[0]
             hot_part = block.filter(pa.array(~normal_mask))
             hp = pd.DataFrame({c: hot_part[c].to_pandas() for c in sk})
             hp["__chunk"] = hot_part["__chunk"].to_numpy(zero_copy_only=False)
-            values, offsets = list_buffers(hot_part["tokens"])
+            if sidechannel:
+                hm = np.flatnonzero(~normal_mask)
+                values, row_start, row_len_all = _gather_payload(
+                    arrs, uid[hm], voff[hm], vlen[hm], key="gp_h"
+                )
+            else:
+                values, offsets = list_buffers(hot_part["tokens"])
+                row_start, row_len_all = offsets[:-1], np.diff(offsets)
             seq = hot_part[ok[0]].to_numpy(zero_copy_only=False).astype(np.int64)
             for key_and_chunk, g in hp.groupby([*sk, "__chunk"], sort=True):
                 key = tuple(key_and_chunk[:-1])
@@ -586,7 +730,7 @@ def segment_sessions(
                 seqs, starts, sess_len = hot_idx[key]
                 t0 = starts[np.searchsorted(seqs, seq[ridx])]
                 out = _emit_hot_chunk(
-                    hot_part, ridx, sk, values, offsets, t0, c, C,
+                    hot_part, ridx, sk, values, row_start, row_len_all, t0, c, C,
                     sess_len, spec, opts,
                 )
                 if out is not None:
@@ -600,24 +744,34 @@ def segment_sessions(
     # measured under DataContext HASH_SHUFFLE and was strictly slower on
     # this Ray version — the sort path stays.)
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    if sidechannel:
+        # the tagged stream is now ~40 B/row metadata; its block count sets
+        # the sort's reduce fan-out, so spread it to ~2 tasks per core
+        # (workers then run several reduce tasks each and their arenas warm)
+        try:
+            ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover — not initialised
+            ncpu = 8
+        tagged = tagged.repartition(min(num_buckets, max(8, 4 * ncpu)))
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def _emit_hot_chunk(
-    hot_part, ridx, sk, values, offsets, t0, c, C, sess_len, spec, opts
+    hot_part, ridx, sk, values, row_start, row_len_all, t0, c, C, sess_len, spec, opts
 ):
     """Emit the windows OWNED by tick-chunk ``c`` of one hot session.
 
     ``ridx`` are the (contiguous, seq-ordered) row positions of this
     chunk's buffer in ``hot_part`` — the chunk's rows plus the duplicated
-    boundary rows. Arrow list rows are contiguous in the child buffer, so
-    the buffer stream is one span of ``values``. Window ownership: start
-    tick in ``[c*C, min((c+1)*C, sess_len))`` — exactly-once across
-    chunks (SURVEY §7.4.2).
+    boundary rows. The chunk's rows must be contiguous in ``values``
+    (true for Arrow list child buffers and for the side-channel gather),
+    so the buffer stream is one span. Window ownership: start tick in
+    ``[c*C, min((c+1)*C, sess_len))`` — exactly-once across chunks
+    (SURVEY §7.4.2).
     """
-    row_len = np.diff(offsets)[ridx]
+    row_len = row_len_all[ridx]
     buf_start_tick = int(t0[0])
-    v0 = int(offsets[ridx[0]])
+    v0 = int(row_start[ridx[0]])
     buf_end_tick = int(t0[-1] + row_len[-1])
     own_start = c * C
     own_end = min((c + 1) * C, sess_len)

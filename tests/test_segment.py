@@ -334,3 +334,20 @@ def test_hot_split_windows_with_fallback_index(tiny_tokens, tiny_df):
         seg._hot_session_index = orig
     want = oracle.oracle_segment(tiny_df, spec)
     assert_windows_equal(got, want)
+
+
+def test_sidechannel_payload_equivalence(tiny_tokens, tiny_df):
+    """payload='sidechannel' (zero-copy exchange: tokens via object
+    store, pointers via sort) must emit bit-identical windows to the
+    inline exchange — including hot-split chunks, aggregates, tokens,
+    and lag/lead."""
+    for spec, split in (
+        (WindowSpec(16, 8, "frame"), 64),
+        (WindowSpec(24, 12, "segment"), 96),
+    ):
+        got = seg.segment_sessions(
+            rd.from_arrow(tiny_tokens), spec, num_buckets=8, split_ticks=split,
+            with_aggregates=True, lag=8, lead=8, payload="sidechannel",
+        ).to_pandas()
+        want = oracle.oracle_segment(tiny_df, spec, lag=8, lead=8)
+        assert_windows_equal(got, want)
