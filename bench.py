@@ -180,10 +180,14 @@ def run_bench() -> dict:
     )
     # pool must leave CPUs for the read stage or the pipeline serializes,
     # but too few actors caps the stage: half the CPUs as actors
+    # task mode: the compiled index is cached per worker process (same
+    # build-once property as the actor pool) and tasks schedule
+    # elastically — an actor pool's CPU reservation starves the read at
+    # small cluster sizes (num_cpus=1 livelocks outright)
     bf = asof.backfill_broadcast(
         win_ds, events, key=("doc_id", "source"),
-        concurrency=max(1, NUM_CPUS // 2),
         batch_size=32768,  # one searchsorted per batch — dispatch dominates small batches
+        mode="tasks",
     )
     counts["asof"] = bf.count()
     timings["asof"] = time.time() - t0

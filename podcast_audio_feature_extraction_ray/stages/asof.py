@@ -49,21 +49,17 @@ def _searchsorted_attach(
     return ev_val[safe], ev_ts[safe], valid
 
 
-class _BroadcastBackfill:
-    """Actor-pool stage: event index fetched ONCE per actor (A1-A5 pattern,
-    reference ``src/features/OpenSmileExtractor.py:21-27``) and compiled to
-    a single composite-key sorted array, so each batch is resolved with ONE
-    ``np.searchsorted`` — no per-key loop."""
+class _EventIndex:
+    """Event table compiled to a single composite-key sorted array, so a
+    batch is resolved with ONE ``np.searchsorted`` — no per-key loop."""
 
     _BIG = np.int64(1) << 42  # event/window ticks < 2^42
 
-    def __init__(self, events_ref, key_cols, ts_col, value_col, cutoff_from):
-        ev: pd.DataFrame = ray.get(events_ref)
-        self.key_cols = tuple(key_cols)
-        self.cutoff_from = cutoff_from
+    def __init__(self, ev: "pd.DataFrame", key_cols, ts_col, value_col):
         ev = ev.sort_values([*key_cols, ts_col], kind="mergesort")
         keys = pd.MultiIndex.from_frame(ev[list(key_cols)])
         codes, uniques = pd.factorize(keys)
+        self.key_cols = tuple(key_cols)
         self.key_index = pd.Index(uniques)
         self.ev_ts = ev[ts_col].to_numpy(dtype=np.int64)
         self.ev_val = ev[value_col].to_numpy(dtype=np.float64)
@@ -73,9 +69,8 @@ class _BroadcastBackfill:
             codes.astype(np.int64), np.arange(len(uniques), dtype=np.int64)
         )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        cutoff = np.asarray(self.cutoff_from(batch), dtype=np.int64)
+    def attach(self, batch: pa.Table, cutoff_from) -> pa.Table:
+        cutoff = np.asarray(cutoff_from(batch), dtype=np.int64)
         keys = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in self.key_cols])
         code = self.key_index.get_indexer(keys).astype(np.int64)  # -1 = unknown key
         target = code * self._BIG + np.minimum(cutoff, self._BIG - 1)
@@ -88,6 +83,22 @@ class _BroadcastBackfill:
         cols["bf_value"] = pa.array(self.ev_val[safe], mask=~valid)
         cols["bf_ts"] = pa.array(self.ev_ts[safe], mask=~valid)
         return pa.table(cols)
+
+
+class _BroadcastBackfill:
+    """Actor-pool stage: event index fetched ONCE per actor (A1-A5 pattern,
+    reference ``src/features/OpenSmileExtractor.py:21-27``)."""
+
+    def __init__(self, events_ref, key_cols, ts_col, value_col, cutoff_from):
+        self.idx = _EventIndex(ray.get(events_ref), key_cols, ts_col, value_col)
+        self.cutoff_from = cutoff_from
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.idx.attach(batch, self.cutoff_from)
+
+
+# per-worker-process compiled-index cache for the task-pool mode
+_TASK_IDX_CACHE: dict = {}
 
 
 def _default_cutoff(batch: pa.Table) -> np.ndarray:
@@ -103,14 +114,39 @@ def backfill_broadcast(
     cutoff_from=_default_cutoff,
     concurrency: int = 4,
     batch_size: int = 8192,
+    mode: str = "actors",
 ):
-    """Attach bf_value/bf_ts to each window via a broadcast event index."""
+    """Attach bf_value/bf_ts to each window via a broadcast event index.
+
+    ``mode="actors"`` (default): the A1 actor-pool pattern — index built
+    once per actor in ``__init__``. ``mode="tasks"``: plain task pool
+    with the compiled index cached per WORKER PROCESS (same build-once
+    property, workers are reused across tasks) — use when the pool's CPU
+    reservation would starve the upstream read (an actor pool at
+    ``num_cpus=1`` reserves the only CPU and the pipeline livelocks;
+    tasks schedule elastically at any cluster size).
+    """
     if isinstance(events, pa.Table):
         events = events.to_pandas()
     ref = ray.put(events)
+    key = tuple(key)
+    if mode == "tasks":
+
+        def fn(batch: pa.Table) -> pa.Table:
+            k = ref.hex()
+            idx = _TASK_IDX_CACHE.get(k)
+            if idx is None:
+                idx = _EventIndex(ray.get(ref), key, ts_col, value_col)
+                _TASK_IDX_CACHE.clear()  # bound the cache: one live index
+                _TASK_IDX_CACHE[k] = idx
+            return idx.attach(batch, cutoff_from)
+
+        return windows_ds.map_batches(
+            fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        )
     return windows_ds.map_batches(
         _BroadcastBackfill,
-        fn_constructor_args=(ref, tuple(key), ts_col, value_col, cutoff_from),
+        fn_constructor_args=(ref, key, ts_col, value_col, cutoff_from),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -164,3 +164,13 @@ def test_backfill_join_one_monster_key():
         rd.from_arrow(windows), events.to_pandas(), concurrency=2
     ).to_pandas()
     _check(got, want.rename(columns={}))
+
+
+def test_backfill_broadcast_task_mode(windows_and_events):
+    """mode='tasks' (per-worker compiled-index cache) must equal the
+    actor-pool mode exactly."""
+    win_ds, events, want = windows_and_events
+    got = asof.backfill_broadcast(
+        win_ds, events, mode="tasks", batch_size=4096
+    ).to_pandas()
+    _check(got, want)
