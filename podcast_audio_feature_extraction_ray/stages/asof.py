@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -51,28 +52,71 @@ def _searchsorted_attach(
 
 class _EventIndex:
     """Event table compiled to a single composite-key sorted array, so a
-    batch is resolved with ONE ``np.searchsorted`` — no per-key loop."""
+    batch is resolved with ONE ``np.searchsorted`` — no per-key loop.
+
+    Key resolution is per-COLUMN ``pyarrow.compute.index_in`` against the
+    event side's column dictionaries, combined mixed-radix, then densified
+    with one searchsorted over the unique combined codes. A
+    ``pd.MultiIndex.get_indexer`` here hashes a Python tuple per row and
+    measured ~10x slower than the whole rest of the stage (8.8M windows:
+    21 s -> 2 s at 4 cpus)."""
 
     _BIG = np.int64(1) << 42  # event/window ticks < 2^42
 
     def __init__(self, ev: "pd.DataFrame", key_cols, ts_col, value_col):
         ev = ev.sort_values([*key_cols, ts_col], kind="mergesort")
-        keys = pd.MultiIndex.from_frame(ev[list(key_cols)])
-        codes, uniques = pd.factorize(keys)
         self.key_cols = tuple(key_cols)
-        self.key_index = pd.Index(uniques)
+        # per-column dictionaries + mixed-radix combined key code
+        self.col_uniq: list[pa.Array] = []
+        self.radices: list[int] = []
+        comb = np.zeros(len(ev), dtype=np.int64)
+        for c in key_cols:
+            col_codes, uniques = pd.factorize(ev[c])
+            r = max(1, len(uniques))
+            # events are the broadcast SMALL side: the mixed-radix product
+            # stays far below 2^41 (n_keys < 2^21 is already required by
+            # the composite ts trick below)
+            self.col_uniq.append(pa.array(uniques))
+            self.radices.append(r)
+            comb = comb * r + col_codes.astype(np.int64)
+        self.comb_uniq = np.unique(comb)
+        n_keys = len(self.comb_uniq)
+        if n_keys >= (1 << 21) or np.prod(
+            np.array(self.radices, dtype=np.float64)
+        ) >= float(1 << 41):
+            raise ValueError(
+                f"backfill_broadcast event side has {n_keys} distinct keys "
+                f"(radices {self.radices}) — too large for the broadcast "
+                "composite index; use backfill_join (the merge-path scale "
+                "strategy) instead"
+            )
+        codes = np.searchsorted(self.comb_uniq, comb)
         self.ev_ts = ev[ts_col].to_numpy(dtype=np.int64)
         self.ev_val = ev[value_col].to_numpy(dtype=np.float64)
-        self.ev_comp = codes.astype(np.int64) * self._BIG + self.ev_ts
+        self.ev_comp = codes * self._BIG + self.ev_ts
         # per-code start offsets to validate hits stay inside the key's span
-        self.code_start = np.searchsorted(
-            codes.astype(np.int64), np.arange(len(uniques), dtype=np.int64)
-        )
+        self.code_start = np.searchsorted(codes, np.arange(n_keys, dtype=np.int64))
+
+    def _key_codes(self, batch: pa.Table) -> np.ndarray:
+        """Dense event-key code per row (-1 = key absent from events)."""
+        comb = np.zeros(batch.num_rows, dtype=np.int64)
+        unknown = np.zeros(batch.num_rows, dtype=bool)
+        for c, uniq, r in zip(self.key_cols, self.col_uniq, self.radices):
+            col = batch[c]
+            if col.type != uniq.type:
+                col = col.cast(uniq.type)
+            idx = pc.fill_null(pc.index_in(col, value_set=uniq), -1)
+            idx = np.asarray(idx.combine_chunks() if hasattr(idx, "combine_chunks") else idx).astype(np.int64)
+            unknown |= idx < 0
+            comb = comb * r + np.where(idx < 0, 0, idx)
+        pos = np.searchsorted(self.comb_uniq, comb)
+        safe = np.minimum(pos, len(self.comb_uniq) - 1)
+        hit = (~unknown) & (self.comb_uniq[safe] == comb)
+        return np.where(hit, safe, -1)
 
     def attach(self, batch: pa.Table, cutoff_from) -> pa.Table:
         cutoff = np.asarray(cutoff_from(batch), dtype=np.int64)
-        keys = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in self.key_cols])
-        code = self.key_index.get_indexer(keys).astype(np.int64)  # -1 = unknown key
+        code = self._key_codes(batch)  # -1 = unknown key
         target = code * self._BIG + np.minimum(cutoff, self._BIG - 1)
         pos = np.searchsorted(self.ev_comp, target, side="right") - 1
         known = code >= 0
