@@ -228,16 +228,29 @@ def train_test_split(ds, id_col: str = "doc_id", test_hex: str = "012"):
     sizes — the property a training pipeline needs from its split."""
     import hashlib
 
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    tset = set(test_hex)
+    # md5 itself is a per-string digest (kept for oracle parity: DuckDB
+    # recomputes md5(doc_id)); everything around it is vectorized — the
+    # first hex digit is the high nibble of digest byte 0, labels come
+    # from one boolean LUT gather + pc.if_else, no Python string building.
+    md5 = hashlib.md5
+    nib_test = np.zeros(16, dtype=bool)
+    for c in test_hex:
+        nib_test[int(c, 16)] = True
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = [str(x) for x in batch[id_col].to_pylist()]
-        lab = [
-            "test" if hashlib.md5(i.encode()).hexdigest()[0] in tset else "train"
-            for i in ids
-        ]
-        return pa.table({id_col: batch[id_col], "split": pa.array(lab)})
+        col = batch[id_col]
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            col = col.cast(pa.string())
+        ids = col.to_pylist()
+        nibs = np.fromiter(
+            (md5(s.encode()).digest()[0] for s in ids), np.uint8, count=len(ids)
+        ) >> 4
+        is_test = pa.array(nib_test[nibs])
+        lab = pc.if_else(is_test, pa.scalar("test"), pa.scalar("train"))
+        return pa.table({id_col: batch[id_col], "split": lab})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
