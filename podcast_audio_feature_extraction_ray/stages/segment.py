@@ -408,7 +408,12 @@ def _hot_session_index(
         )
         return pa.table({"bucket": pa.array(b), "n": pa.array(s)})
 
-    pairs = meta.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=None: per-BLOCK sketches (a 1024-row default batch would
+    # emit ~rows/1024 partial sketches — the pair stream must stay
+    # ~distinct-keys-per-block small for the combine tree to be cheap)
+    pairs = meta.map_batches(
+        sketch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     lvl1 = pairs.repartition(8).map_batches(combine, batch_format="pyarrow", batch_size=None)
     totals = lvl1.repartition(1).map_batches(combine, batch_format="pyarrow", batch_size=None)
     cand = totals.map_batches(
@@ -428,7 +433,10 @@ def _hot_session_index(
             return pa.Table.from_pandas(g, preserve_index=False)
 
         hot_keys = (
-            meta.map_batches(partial_totals, batch_format="pyarrow", zero_copy_batch=True)
+            meta.map_batches(
+                partial_totals, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True,
+            )
             .groupby(list(sk))
             .sum("n")
             .map_batches(
@@ -456,9 +464,15 @@ def _hot_session_index(
     # else compute the per-session prefix sums distributed (the common
     # path stays ONE execution — a materialize-then-count here costs an
     # extra barrier on every run to make the rare path cheaper)
-    hot_rows = meta.map_batches(only_hot, batch_format="pyarrow", zero_copy_batch=True)
-    hot = hot_rows.to_pandas()
-    if len(hot) > driver_collect_limit:  # 10^12-scale path
+    hot_rows = meta.map_batches(
+        only_hot, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    import ray as _ray_
+
+    hot_tbl = pa.concat_tables(
+        _ray_.get(hot_rows.to_arrow_refs()), promote_options="permissive"
+    )
+    if hot_tbl.num_rows > driver_collect_limit:  # 10^12-scale path
 
         def per_session(group: pd.DataFrame) -> pd.DataFrame:
             g = group.sort_values(list(ok), kind="mergesort").copy()
@@ -471,29 +485,56 @@ def _hot_session_index(
             hot_rows.groupby(list(sk)).map_groups(per_session, batch_format="pandas")
             .to_pandas()
         )
-    else:
-        hot = hot.sort_values([*sk, *ok], kind="mergesort").reset_index(drop=True)
-        n = hot["n_tok"].to_numpy(dtype=np.int64)
-        cum = np.concatenate([[0], np.cumsum(n)[:-1]])
-        # restart the running sum at each session boundary
-        key_change = np.zeros(len(hot), dtype=bool)
-        if len(hot):
-            key_change[0] = True
-            for c in sk:
-                v = hot[c].to_numpy()
-                key_change[1:] |= v[1:] != v[:-1]
-            sess_base = np.maximum.accumulate(np.where(key_change, cum, -1))
-            hot["start_tick"] = cum - sess_base
-    index: dict = {}
-    if len(hot):
+        index: dict = {}
         for key, g in hot.groupby(list(sk), sort=False):
             key = key if isinstance(key, tuple) else (key,)
-            g = g.sort_values(list(ok), kind="mergesort")
+            # rows within a group arrive contiguous and ok-sorted from
+            # per_session (map_groups emits each group whole)
             seqs = g[list(ok)[0]].to_numpy(dtype=np.int64)
             starts = g["start_tick"].to_numpy(dtype=np.int64)
             total = int(starts[-1]) + int(g["n_tok"].to_numpy(dtype=np.int64)[-1])
             if total > thr:  # drop sketch-collision keys (false positives)
                 index[key] = (seqs, starts, total)
+        return index
+
+    # common path: Arrow-native driver combine — a pandas
+    # sort_values/groupby over ~1M string-keyed rows costs >1s of serial
+    # driver time at every parallelism level (pure scaling overhead)
+    index = {}
+    if hot_tbl.num_rows == 0:
+        return index
+    order = pa.compute.sort_indices(
+        hot_tbl.select([*sk, *ok]),
+        sort_keys=[(c, "ascending") for c in (*sk, *ok)],
+    )
+    hot_tbl = hot_tbl.take(order)
+    m = hot_tbl.num_rows
+    n = hot_tbl["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(n)[:-1]])
+    key_change = np.zeros(m, dtype=bool)
+    key_change[0] = True
+    for c in sk:
+        col = hot_tbl[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        neq = pa.compute.not_equal(col.slice(1), col.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        key_change[1:] |= neq.astype(bool)
+    # restart the running sum at each session boundary
+    sess_base = np.maximum.accumulate(np.where(key_change, cum, -1))
+    starts_all = cum - sess_base
+    seqs_all = hot_tbl[ok[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+    first_rows = np.flatnonzero(key_change)
+    bounds = np.append(first_rows, m)
+    key_rows = hot_tbl.select(list(sk)).take(pa.array(first_rows)).to_pylist()
+    for i, kd in enumerate(key_rows):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        total = int(starts_all[e - 1]) + int(n[e - 1])
+        if total > thr:  # drop sketch-collision keys (false positives)
+            index[tuple(kd[c] for c in sk)] = (
+                seqs_all[s:e], starts_all[s:e], total,
+            )
     return index
 
 
@@ -580,18 +621,39 @@ def segment_sessions(
         # callers reading parquet should pass read_parquet(columns=[...]))
         hot = _hot_session_index(ds, sk, ok, split_ticks, meta_ds=meta_ds)
         if hot:
-            # flat broadcast layout so the tagger resolves EVERY hot row
-            # with one MultiIndex hash lookup + one composite
-            # searchsorted — no per-hot-key Python loop (round-2 VERDICT)
+            # flat broadcast layout: per-COLUMN value dictionaries +
+            # mixed-radix composite codes, so the tagger resolves every
+            # row with per-column ``pc.index_in`` (C++ hash over the raw
+            # column) + one searchsorted — the asof ``_EventIndex``
+            # pattern. A ``pd.MultiIndex.get_indexer`` here hashed a
+            # Python tuple per row and dominated the tag task.
             hot_keys = list(hot)
-            hot_mi = pd.MultiIndex.from_tuples(hot_keys, names=list(sk))
+            col_uniq: list[pa.Array] = []
+            radices: list[int] = []
+            key_codes = np.zeros(len(hot_keys), dtype=np.int64)
+            for ci in range(len(sk)):
+                vals = list(dict.fromkeys(k[ci] for k in hot_keys))
+                lut = {v: i for i, v in enumerate(vals)}
+                r = max(1, len(vals))
+                col_uniq.append(pa.array(vals))
+                radices.append(r)
+                key_codes = key_codes * r + np.array(
+                    [lut[k[ci]] for k in hot_keys], dtype=np.int64
+                )
+            code_order = np.argsort(key_codes)
+            matcher = (
+                col_uniq,
+                radices,
+                key_codes[code_order],  # sorted composite codes
+                code_order.astype(np.int64),  # -> ordinal in hot_keys order
+            )
             all_seqs = np.concatenate([hot[k][0] for k in hot_keys])
             all_starts = np.concatenate([hot[k][1] for k in hot_keys])
             counts = np.array([len(hot[k][0]) for k in hot_keys], dtype=np.int64)
             comp_key = np.repeat(np.arange(len(hot_keys), dtype=np.int64), counts)
             _SEQ_BIG = np.int64(1) << 42  # seq_no < 2^42
             comp_all = comp_key * _SEQ_BIG + all_seqs
-            hot_ref = _ray.put((hot, hot_mi, comp_all, all_starts, _SEQ_BIG))
+            hot_ref = _ray.put((hot, matcher, comp_all, all_starts, _SEQ_BIG))
 
     def _bucket_of(
         keys_df: "pd.DataFrame", extra: np.ndarray | None = None
@@ -627,14 +689,32 @@ def segment_sessions(
         kdf = pd.DataFrame({c: batch[c].to_pandas() for c in sk})
         chunk = np.full(batch.num_rows, -1, dtype=np.int64)
         if hot_ref is not None:
-            _hot_idx, hot_mi, comp_all, all_starts, SEQ_BIG = _ray.get(hot_ref)
+            _hot_idx, matcher, comp_all, all_starts, SEQ_BIG = _ray.get(hot_ref)
             if sidechannel:
                 n_tok = n_tok_np
             else:
                 n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
             seq = batch[ok[0]].to_numpy(zero_copy_only=False).astype(np.int64)
-            # ONE vectorized hash lookup for all rows x all hot keys
-            pos = hot_mi.get_indexer(pd.MultiIndex.from_frame(kdf))
+            # vectorized hot-key lookup: per-column index_in + composite
+            col_uniq_, radices_, hot_comb_, hot_ord_ = matcher
+            comb = np.zeros(batch.num_rows, dtype=np.int64)
+            unknown = np.zeros(batch.num_rows, dtype=bool)
+            for c, uniq, r in zip(sk, col_uniq_, radices_):
+                col = batch[c]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if col.type != uniq.type:
+                    col = col.cast(uniq.type)
+                idx = pa.compute.fill_null(
+                    pa.compute.index_in(col, value_set=uniq), -1
+                )
+                idx = np.asarray(idx).astype(np.int64)
+                unknown |= idx < 0
+                comb = comb * r + np.where(idx < 0, 0, idx)
+            p_ = np.searchsorted(hot_comb_, comb)
+            safe_ = np.minimum(p_, len(hot_comb_) - 1)
+            hit = (~unknown) & (hot_comb_[safe_] == comb)
+            pos = np.where(hit, hot_ord_[safe_], -1)
             hot_rows = pos >= 0
             if hot_rows.any():
                 ridx = np.flatnonzero(hot_rows)
@@ -743,7 +823,13 @@ def segment_sessions(
     # exchange: sort-based groupby. (A keyed-repartition hash exchange was
     # measured under DataContext HASH_SHUFFLE and was strictly slower on
     # this Ray version — the sort path stays.)
-    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=None: one tag call per BLOCK. The default 1024-row batch
+    # would pay the side-channel ray.put + sync registry round-trip (and
+    # the hot-key lookup setup) ~rows/1024 times instead of once per block
+    # — measured as the tag stage anti-scaling at higher parallelism.
+    tagged = ds.map_batches(
+        tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     if sidechannel:
         # the tagged stream is now ~40 B/row metadata; its block count sets
         # the sort's reduce fan-out, so spread it to ~2 tasks per core
