@@ -277,6 +277,12 @@ def _segment_sorted_block(
     )
 
 
+# worker-process-global payload cache for the side-channel exchange
+# (see per_bucket in segment_sessions) — maps uid -> zero-copy values
+# array; entries are shared-memory views, not copies
+_worker_payload_cache: dict = {}
+
+
 class _BufRegistry:
     """Tiny bookkeeping actor for the side-channel payload exchange: maps
     ``uid -> ObjectRef`` of a tag task's token-values array. Holding the
@@ -776,8 +782,21 @@ def segment_sessions(
             voff = block["__voff"].to_numpy(zero_copy_only=False)
             vlen = block["__vlen"].to_numpy(zero_copy_only=False)
             uniq = [int(u) for u in np.unique(uid)]
-            refs = _ray.get(registry.fetch.remote(uniq)) if uniq else []
-            arrs = dict(zip(uniq, _ray.get(refs)))
+            # per-worker uid -> values cache: one registry RPC per uid per
+            # WORKER, not per group — with fine-grained buckets (hundreds
+            # of map_groups calls) the per-call round-trip would dominate.
+            # uids are unique per run (64 random bits), so stale entries
+            # from a previous run can never alias; cap the cache so a
+            # long-lived worker can't pin unbounded payload objects.
+            cache = _worker_payload_cache
+            miss = [u for u in uniq if u not in cache]
+            if miss:
+                refs = _ray.get(registry.fetch.remote(miss))
+                for u, arr in zip(miss, _ray.get(refs)):
+                    cache[u] = arr
+                while len(cache) > 4096:  # pragma: no cover — huge runs
+                    cache.pop(next(iter(cache)))
+            arrs = {u: cache[u] for u in uniq}
             block = block.drop_columns(["__uid", "__voff", "__vlen"])
         chunk_col = block["__chunk"].to_numpy(zero_copy_only=False)
         normal_mask = chunk_col < 0
@@ -838,7 +857,12 @@ def segment_sessions(
             ncpu = int(_ray.cluster_resources().get("CPU", 8))
         except Exception:  # pragma: no cover — not initialised
             ncpu = 8
-        tagged = tagged.repartition(min(num_buckets, max(8, 4 * ncpu)))
+        import os as _os
+
+        parts = int(
+            _os.environ.get("TOKWIN_EXCHANGE_PARTS") or "0"
+        ) or min(num_buckets, max(8, 4 * ncpu))
+        tagged = tagged.repartition(parts)
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
