@@ -528,6 +528,20 @@ def multimodal_decode(sf_dir: str):
 
 # ---------------------------------------------------------------- more reference ops
 
+def multimodal_png_decode(sf_dir: str):
+    """REAL codec path: synthesize an actual PNG per doc (stdlib-zlib
+    encoder), decode it with the pure-numpy PNG decoder in the actor
+    pool, and emit fields the oracle recomputes from doc_id arithmetic —
+    width/height from the size rule and pixel_sum over the deterministic
+    gradient ``(3x + 7y + doc_id % 251) % 256`` (the SQL does the same
+    double generate_series sum)."""
+    from podcast_audio_feature_extraction_ray.stages import multimodal as mm
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = mm.decode_media(mm.attach_png_payload(docs), want_real=True)
+    return out.select_columns(["doc_id", "width", "height", "pixel_sum"])
+
+
 def s4_json_extract(sf_dir: str):
     """S4 JSON tree navigation analog (reference ``src/data.py:50-62``):
     pull ``k`` out of the events ``props`` JSON column (regex kernel —

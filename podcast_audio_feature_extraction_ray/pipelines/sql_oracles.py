@@ -536,6 +536,27 @@ SELECT doc_id,
 FROM documents
 """
 
+# real-PNG decode: width/height from the size rule; pixel_sum recomputed
+# by summing the synthesized gradient (3x + 7y + doc_id%251) % 256 over
+# the image grid with two generate_series (exact integer math; the Ray
+# side sums the ACTUAL decoded pixels of a real zlib-compressed PNG)
+SQL["multimodal_png_decode"] = """
+WITH dims AS (
+  SELECT doc_id,
+         cast(16 + (doc_id * 7) % 48 AS bigint) AS width,
+         cast(16 + (doc_id * 13) % 32 AS bigint) AS height
+  FROM documents
+)
+SELECT d.doc_id, d.width, d.height,
+       cast(sum((3 * x.g + 7 * y.g + d.doc_id % 251) % 256) AS bigint)
+         AS pixel_sum
+FROM dims d
+CROSS JOIN generate_series(0, 63) x(g)
+CROSS JOIN generate_series(0, 47) y(g)
+WHERE x.g < d.width AND y.g < d.height
+GROUP BY d.doc_id, d.width, d.height
+"""
+
 SQL["t5_resumable_roundtrip"] = f"""
 WITH {_TOK}, {_FRAME_WINDOWS}
 SELECT doc_id, source, win_id, ts_start,

@@ -6,12 +6,19 @@ typed metadata columns beside them; decode / feature-extraction / resize
 the model/codec loads once per actor, reference
 ``src/features/YAMNetExtractor.py:43-49``).
 
-The actual codec libraries (PIL/librosa/ffmpeg) are NOT in this
-container, so the decode body is STUBBED: ``_HAVE_CODECS`` gates the real
-import, and the fallback is a deterministic fake decoder that parses the
-payload header we synthesize. The Ray-side plumbing — schema, batch
-sizing for wide binary rows, actor signature, output layout — is real
-and tested.
+Codec support is two-tier:
+
+- **PNG is a REAL codec path** — ``functions/png.py`` implements an
+  exact 8-bit gray/RGB PNG encoder+decoder over stdlib ``zlib`` (all
+  five scanline filters on decode), so ``want_real=True`` genuinely
+  decodes pixel data, resizes, and extracts pixel features. Verified
+  bit-exact round-trip in ``tests/test_trainops.py`` and against a
+  DuckDB pixel-sum oracle (``multimodal_png_decode``).
+- Other media (JPEG/audio/video) need libraries NOT in this container
+  (PIL/librosa/ffmpeg): ``_HAVE_CODECS`` gates the import and a payload
+  outside the PNG scope raises ``NotImplementedError`` under
+  ``want_real=True`` — honestly gated, not silently faked. The
+  ``FAKEIMG1`` header path remains for plumbing tests.
 """
 
 from __future__ import annotations
@@ -21,7 +28,9 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-try:  # real codecs are absent in this sandbox
+from podcast_audio_feature_extraction_ray.functions import png as _png
+
+try:  # non-PNG codecs are absent in this sandbox
     import PIL.Image  # noqa: F401
 
     _HAVE_CODECS = True
@@ -56,33 +65,80 @@ def attach_fake_payload(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-class MediaDecoder:
-    """Actor-pool decode stage. Real decode requires codec libs; the
-    deterministic fallback parses the synthesized header. batch_size for
-    this stage must be set by PAYLOAD budget (wide binary rows), not row
-    count — callers use ``decode_media(..., batch_size=...)``."""
+def attach_png_payload(ds, id_col: str = "doc_id"):
+    """Synthesize a REAL deterministic PNG per row (the real-codec-path
+    fixture): grayscale ``(h, w)`` with ``pixel[y, x] = (3x + 7y + s)
+    % 256`` where ``w = 16 + 7*id % 48``, ``h = 16 + 13*id % 32``,
+    ``s = id % 251`` — every field independently recomputable by the
+    DuckDB oracle (``multimodal_png_decode``)."""
 
-    def __init__(self, want_real: bool = False):
-        if want_real and not _HAVE_CODECS:
-            raise NotImplementedError(
-                "image/audio codec libraries are not available in this "
-                "container; run with want_real=False for the stub decoder"
-            )
-        self.want_real = want_real and _HAVE_CODECS
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            w = 16 + (i * 7) % 48
+            h = 16 + (i * 13) % 32
+            img = (
+                3 * np.arange(w, dtype=np.int64)[None, :]
+                + 7 * np.arange(h, dtype=np.int64)[:, None]
+                + i % 251
+            ) % 256
+            payloads.append(_png.png_encode(img.astype(np.uint8)))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "media_type": pa.array(["image/png"] * batch.num_rows),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class MediaDecoder:
+    """Actor-pool decode stage. PNG payloads decode for REAL (exact
+    pixels via ``functions/png.py``); ``FAKEIMG1`` payloads parse the
+    synthesized header (plumbing tests); anything else under
+    ``want_real=True`` needs codec libs absent in this container and
+    raises. batch_size for this stage must be set by PAYLOAD budget
+    (wide binary rows), not row count — callers use
+    ``decode_media(..., batch_size=...)``."""
+
+    def __init__(self, want_real: bool = False, resize_to: tuple | None = None):
+        self.want_real = want_real
+        self.resize_to = resize_to
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        w_out = np.empty(len(payloads), dtype=np.int64)
-        h_out = np.empty(len(payloads), dtype=np.int64)
-        f_out = np.empty(len(payloads), dtype=np.int64)
-        feat = np.empty((len(payloads), 8), dtype=np.float32)
+        n = len(payloads)
+        w_out = np.empty(n, dtype=np.int64)
+        h_out = np.empty(n, dtype=np.int64)
+        f_out = np.empty(n, dtype=np.int64)
+        px_sum = np.zeros(n, dtype=np.int64)
+        feat = np.empty((n, 8), dtype=np.float32)
         for i, p in enumerate(payloads):
-            if p[:8] != MAGIC:
+            if p[:8] == _png.SIGNATURE:
+                img = _png.png_decode(p)  # the REAL codec path
+                if self.resize_to is not None:
+                    img = _png.resize_nearest(img, *self.resize_to)
+                h_out[i], w_out[i] = img.shape[:2]
+                f_out[i] = 1
+                body = img.reshape(-1)
+                px_sum[i] = int(body.sum(dtype=np.int64))
+            elif p[:8] == MAGIC:
+                if self.want_real and not _HAVE_CODECS:
+                    raise NotImplementedError(
+                        "non-PNG media decode needs codec libraries not in "
+                        "this container; PNG payloads decode for real"
+                    )
+                w, h, fr = struct.unpack("<III", p[8:20])
+                w_out[i], h_out[i], f_out[i] = w, h, fr
+                body = np.frombuffer(p[20:], dtype=np.uint8)
+                px_sum[i] = int(body.sum(dtype=np.int64))
+            else:
                 raise ValueError("unknown media payload")
-            w, h, fr = struct.unpack("<III", p[8:20])
-            w_out[i], h_out[i], f_out[i] = w, h, fr
-            body = np.frombuffer(p[20:], dtype=np.uint8)
-            # deterministic fake "embedding": 8 byte-histogram moments
+            # deterministic "embedding": 8 byte-histogram moments
             if len(body):
                 feat[i] = [
                     body.mean(), body.std(), body.min(), body.max(),
@@ -95,6 +151,7 @@ class MediaDecoder:
         cols["width"] = pa.array(w_out)
         cols["height"] = pa.array(h_out)
         cols["n_frames"] = pa.array(f_out)
+        cols["pixel_sum"] = pa.array(px_sum)
         cols["media_embedding"] = pa.FixedSizeListArray.from_arrays(
             pa.array(feat.reshape(-1)), 8
         )

@@ -296,9 +296,64 @@ def test_multimodal_stub_plumbing(docs_ds, docs_df):
         out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "width", "height"]],
         out2.sort_values("doc_id").reset_index(drop=True)[["doc_id", "width", "height"]],
     )
-    # real-codec path is explicitly gated
+    # non-PNG media under want_real is explicitly gated (codec libs
+    # absent in this container); the raise is per-payload, not at
+    # construction, because PNG decodes for real
+    dec = mm.MediaDecoder(want_real=True)
+    fake = mm.attach_fake_payload(docs_ds).limit(4).to_pandas()
     with pytest.raises(NotImplementedError):
-        mm.MediaDecoder(want_real=True)
+        dec(pa.Table.from_pandas(fake, preserve_index=False))
+
+
+def test_png_codec_roundtrip_exact():
+    """Real PNG codec: encode/decode are bit-exact for every supported
+    shape and for ALL FIVE scanline filters (the decoder must unfilter
+    data a third-party encoder could emit, not just our filter-0)."""
+    from podcast_audio_feature_extraction_ray.functions import png
+
+    rng = np.random.default_rng(7)
+    shapes = [(13, 17), (13, 17, 3), (1, 1), (64, 48, 3), (5, 1), (1, 7, 3)]
+    for shape in shapes:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for f in range(5):
+            assert np.array_equal(png.png_decode(png.png_encode(img, filter_type=f)), img)
+    # gradient image (filters actually change the byte stream)
+    g = (np.arange(32)[:, None] * 3 + np.arange(40)[None, :] * 7).astype(np.uint8)
+    for f in range(5):
+        assert np.array_equal(png.png_decode(png.png_encode(g, f)), g)
+    # out-of-scope features are honestly rejected, not mis-decoded
+    bad = bytearray(png.png_encode(g))
+    bad[24] = 16  # bit depth 16
+    with pytest.raises(NotImplementedError):
+        png.png_decode(bytes(bad))
+    with pytest.raises(ValueError):
+        png.png_decode(b"not a png at all")
+    # nearest resize: exact gather semantics
+    r = png.resize_nearest(g, 8, 10)
+    assert r.shape == (8, 10)
+    assert np.array_equal(r, g[(np.arange(8) * 32) // 8][:, (np.arange(10) * 40) // 10])
+
+
+def test_multimodal_png_real_decode(docs_ds, docs_df):
+    """want_real=True genuinely decodes the synthesized PNGs: pixel_sum
+    equals the loop-oracle sum over the deterministic gradient."""
+    from podcast_audio_feature_extraction_ray.stages import multimodal as mm
+
+    out = (
+        mm.decode_media(mm.attach_png_payload(docs_ds), want_real=True)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i in docs_df.doc_id.astype(int):
+        w, h, s = 16 + (i * 7) % 48, 16 + (i * 13) % 32, i % 251
+        grid = (3 * np.arange(w)[None, :] + 7 * np.arange(h)[:, None] + s) % 256
+        assert out.loc[i, "width"] == w
+        assert out.loc[i, "height"] == h
+        assert out.loc[i, "pixel_sum"] == int(grid.sum())
+        assert out.loc[i, "media_embedding"][0] == np.float32(
+            grid.reshape(-1).astype(np.uint8).mean()
+        )
 
 
 def test_ngram_jaccard_verify_empty_docs():
