@@ -387,6 +387,7 @@ def _hot_session_index(
     still never materializes per-key totals.
     """
     import pandas as pd
+    import ray as _ray_
 
     meta = meta_ds if meta_ds is not None else ds.select_columns([*sk, *ok, "n_tok"])
     thr = int(threshold_ticks)
@@ -400,36 +401,74 @@ def _hot_session_index(
             ).to_numpy(dtype=np.uint64)
         return (h % np.uint64(NB)).astype(np.int64)
 
-    def sketch(batch: pa.Table) -> pa.Table:
-        b, s = _sum_runs(
-            _key_buckets(batch),
-            batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64),
-        )
-        return pa.table({"bucket": pa.array(b), "n": pa.array(s)})
+    # ONE metadata scan: per-row sketch buckets ride along as ``__kb`` and
+    # the blocks are pinned in the object store, so the candidate-filter
+    # pass below re-reads the (tiny) materialized blocks instead of
+    # re-scanning + re-hashing the input. Meta is 3-4 narrow columns
+    # (~1-2% of the data); the streaming executor spills if it must —
+    # this is the SURVEY §7.4.3 "metadata-only pre-pass" made literal.
+    def add_kb(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__kb", pa.array(_key_buckets(batch)))
 
-    def combine(batch: pa.Table) -> pa.Table:
-        b, s = _sum_runs(
-            batch["bucket"].to_numpy(zero_copy_only=False),
-            batch["n"].to_numpy(zero_copy_only=False),
-        )
-        return pa.table({"bucket": pa.array(b), "n": pa.array(s)})
-
-    # batch_size=None: per-BLOCK sketches (a 1024-row default batch would
-    # emit ~rows/1024 partial sketches — the pair stream must stay
-    # ~distinct-keys-per-block small for the combine tree to be cheap)
-    pairs = meta.map_batches(
-        sketch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    kb_refs = (
+        meta.map_batches(add_kb, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+        .to_arrow_refs()
     )
-    lvl1 = pairs.repartition(8).map_batches(combine, batch_format="pyarrow", batch_size=None)
-    totals = lvl1.repartition(1).map_batches(combine, batch_format="pyarrow", batch_size=None)
-    cand = totals.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n"], pa.scalar(thr))),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if not len(cand):
+
+    @_ray_.remote
+    def _block_sketch(tbl: pa.Table) -> pa.Table:
+        b, s = _sum_runs(
+            tbl["__kb"].to_numpy(zero_copy_only=False),
+            tbl["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table({"bucket": pa.array(b), "n": pa.array(s)})
+
+    # bucket totals: per-block (bucket, n) partials are bounded by
+    # min(block_rows, sketch_buckets) pairs each. Combine driver-side in
+    # a STREAMING pass (memory bounded by distinct buckets, <= NB, never
+    # by total pairs); above ``tree_blocks`` blocks the pair volume
+    # through the driver would dominate, so fall back to the bounded
+    # repartition tree over the already-materialized partials (no
+    # re-scan either way).
+    pair_refs = [_block_sketch.remote(r) for r in kb_refs]
+    tree_blocks = 256
+    if len(pair_refs) <= tree_blocks:
+        acc: dict = {}
+        bb_all = []
+        nn_all = []
+        for r in pair_refs:
+            t = _ray_.get(r)
+            bb_all.append(t["bucket"].to_numpy(zero_copy_only=False))
+            nn_all.append(t["n"].to_numpy(zero_copy_only=False))
+        bb, nn = _sum_runs(np.concatenate(bb_all), np.concatenate(nn_all))
+        cand_arr = bb[nn > thr]
+    else:  # pragma: no cover — >256-block inputs (cluster scale)
+        import ray.data as _rd
+
+        def combine(batch: pa.Table) -> pa.Table:
+            b, s = _sum_runs(
+                batch["bucket"].to_numpy(zero_copy_only=False),
+                batch["n"].to_numpy(zero_copy_only=False),
+            )
+            return pa.table({"bucket": pa.array(b), "n": pa.array(s)})
+
+        pairs = _rd.from_arrow_refs(pair_refs)
+        totals = (
+            pairs.repartition(8)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        )
+        cand_pd = totals.map_batches(
+            lambda t: t.filter(pa.compute.greater(t["n"], pa.scalar(thr))),
+            batch_format="pyarrow",
+        ).to_pandas()
+        cand_arr = cand_pd["bucket"].to_numpy()
+    if not len(cand_arr):
         return {}
 
-    if len(cand) > NB // 64:  # saturated sketch
+    if len(cand_arr) > NB // 64:  # saturated sketch
         # exact path: combiner partials + distributed groupby + filter;
         # the driver still only collects the hot tail
         def partial_totals(batch: pa.Table) -> pa.Table:
@@ -455,30 +494,36 @@ def _hot_session_index(
             return {}
         hot_mi = pd.MultiIndex.from_frame(hot_keys[list(sk)])
 
-        def only_hot(batch: pa.Table) -> pa.Table:
-            mi = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in sk])
-            return batch.filter(pa.array(mi.isin(hot_mi)))
+        def only_hot_tbl(tbl: pa.Table) -> pa.Table:
+            mi = pd.MultiIndex.from_arrays([tbl[c].to_pandas() for c in sk])
+            return tbl.filter(pa.array(mi.isin(hot_mi))).drop_columns(["__kb"])
 
     else:
-        cand_set = np.sort(cand["bucket"].to_numpy())
+        cand_set = np.sort(cand_arr)
 
-        def only_hot(batch: pa.Table) -> pa.Table:
-            return batch.filter(pa.array(np.isin(_key_buckets(batch), cand_set)))
+        def only_hot_tbl(tbl: pa.Table) -> pa.Table:
+            kb = tbl["__kb"].to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array(np.isin(kb, cand_set))).drop_columns(["__kb"])
 
-    # metadata rows of hot sessions are small relative to their token
-    # counts; combine on the driver below ``driver_collect_limit`` rows,
-    # else compute the per-session prefix sums distributed (the common
-    # path stays ONE execution — a materialize-then-count here costs an
-    # extra barrier on every run to make the rare path cheaper)
-    hot_rows = meta.map_batches(
-        only_hot, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
-    import ray as _ray_
+    # candidate filter runs as tasks over the pinned meta blocks (the
+    # buckets were computed once in the scan pass); metadata rows of hot
+    # sessions are small relative to their token counts, so combine on
+    # the driver below ``driver_collect_limit`` rows, else compute the
+    # per-session prefix sums distributed
+    @_ray_.remote(num_returns=2)
+    def _filter_hot(tbl: pa.Table):
+        out = only_hot_tbl(tbl)
+        return out, out.num_rows
 
-    hot_tbl = pa.concat_tables(
-        _ray_.get(hot_rows.to_arrow_refs()), promote_options="permissive"
-    )
-    if hot_tbl.num_rows > driver_collect_limit:  # 10^12-scale path
+    hot_refs = []
+    cnt_refs = []
+    for r in kb_refs:
+        tref, cref = _filter_hot.remote(r)
+        hot_refs.append(tref)
+        cnt_refs.append(cref)
+    n_hot = int(sum(_ray_.get(cnt_refs)))
+    del kb_refs, pair_refs  # unpin the meta blocks
+    if n_hot > driver_collect_limit:  # 10^12-scale path
 
         def per_session(group: pd.DataFrame) -> pd.DataFrame:
             g = group.sort_values(list(ok), kind="mergesort").copy()
@@ -487,8 +532,11 @@ def _hot_session_index(
             )
             return g[[*sk, *ok, "n_tok", "start_tick"]]
 
+        import ray.data as _rd
+
         hot = (
-            hot_rows.groupby(list(sk)).map_groups(per_session, batch_format="pandas")
+            _rd.from_arrow_refs(hot_refs)
+            .groupby(list(sk)).map_groups(per_session, batch_format="pandas")
             .to_pandas()
         )
         index: dict = {}
@@ -507,8 +555,11 @@ def _hot_session_index(
     # sort_values/groupby over ~1M string-keyed rows costs >1s of serial
     # driver time at every parallelism level (pure scaling overhead)
     index = {}
-    if hot_tbl.num_rows == 0:
+    if n_hot == 0:
         return index
+    hot_tbl = pa.concat_tables(
+        _ray_.get(hot_refs), promote_options="permissive"
+    )
     order = pa.compute.sort_indices(
         hot_tbl.select([*sk, *ok]),
         sort_keys=[(c, "ascending") for c in (*sk, *ok)],
