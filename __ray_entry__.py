@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q.doc_fingerprint,       # rows-only
         "multimodal_decode": q.multimodal_decode,
         "multimodal_png_decode": q.multimodal_png_decode,
+        "multimodal_frame_sample": q.multimodal_frame_sample,
         # remaining reference-op coverage
         "s4_json_extract": q.s4_json_extract,
         "m8_fillna": q.m8_fillna,

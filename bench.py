@@ -342,6 +342,16 @@ def run_scaling() -> None:
             env.setdefault("TOKWIN_BENCH_MULT", "4")
             env.setdefault("TOKWIN_BENCH_CACHE", "/dev/shm/tokwin_bench")
             env.setdefault("TOKWIN_BENCH_HEADLINE_ONLY", "1")
+            # IDENTICAL job shape at both levels: block layout and
+            # exchange fan-out are data/job properties, not cluster-size
+            # properties (a real N- vs 4N-node run reads the same files
+            # and shuffles into the same partition count). Measured:
+            # 32 blocks lifts the 8-cpu rows stage ~20% (smaller tasks
+            # thrash the bus less) and is neutral at 2 cpus; 64 exchange
+            # parts flatten the per_bucket tail at 8 cpus (max task
+            # 1.5-1.8s vs 3.4-8.6s) with equal total CPU at 2 cpus.
+            env.setdefault("TOKWIN_BENCH_NBLOCKS", "32")
+            env.setdefault("TOKWIN_EXCHANGE_PARTS", "64")
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,

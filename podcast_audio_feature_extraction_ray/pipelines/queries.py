@@ -542,6 +542,19 @@ def multimodal_png_decode(sf_dir: str):
     return out.select_columns(["doc_id", "width", "height", "pixel_sum"])
 
 
+def multimodal_frame_sample(sf_dir: str):
+    """Real frame-sampling pipeline: multi-frame motion-PNG payloads →
+    per-frame explode with stride 2 (skipped frames are never inflated)
+    → REAL per-frame PNG decode in the actor pool. The oracle recomputes
+    each sampled frame's geometry and pixel_sum from doc_id arithmetic."""
+    from podcast_audio_feature_extraction_ray.stages import multimodal as mm
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    sampled = mm.frame_sample(mm.attach_video_payload(docs), every=2)
+    out = mm.decode_media(sampled, want_real=True)
+    return out.select_columns(["doc_id", "frame_idx", "width", "height", "pixel_sum"])
+
+
 def s4_json_extract(sf_dir: str):
     """S4 JSON tree navigation analog (reference ``src/data.py:50-62``):
     pull ``k`` out of the events ``props`` JSON column (regex kernel —

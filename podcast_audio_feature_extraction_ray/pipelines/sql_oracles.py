@@ -557,6 +557,31 @@ WHERE x.g < d.width AND y.g < d.height
 GROUP BY d.doc_id, d.width, d.height
 """
 
+# frame sampling over multi-frame motion-PNG payloads: sampled frames
+# are f in {0, 2} below n_frames = 1 + doc_id%4; pixel_sum recomputes
+# frame f's gradient (3x + 7y + doc_id%251 + 11f) % 256 over the grid
+SQL["multimodal_frame_sample"] = """
+WITH dims AS (
+  SELECT doc_id,
+         cast(16 + (doc_id * 7) % 48 AS bigint) AS width,
+         cast(16 + (doc_id * 13) % 32 AS bigint) AS height,
+         cast(1 + doc_id % 4 AS bigint) AS n_frames
+  FROM documents
+), frames AS (
+  SELECT d.doc_id, d.width, d.height, f.g AS frame_idx
+  FROM dims d JOIN generate_series(0, 3) f(g)
+    ON f.g < d.n_frames AND f.g % 2 = 0
+)
+SELECT fr.doc_id, fr.frame_idx, fr.width, fr.height,
+       cast(sum((3 * x.g + 7 * y.g + fr.doc_id % 251 + 11 * fr.frame_idx) % 256)
+            AS bigint) AS pixel_sum
+FROM frames fr
+CROSS JOIN generate_series(0, 63) x(g)
+CROSS JOIN generate_series(0, 47) y(g)
+WHERE x.g < fr.width AND y.g < fr.height
+GROUP BY fr.doc_id, fr.frame_idx, fr.width, fr.height
+"""
+
 SQL["t5_resumable_roundtrip"] = f"""
 WITH {_TOK}, {_FRAME_WINDOWS}
 SELECT doc_id, source, win_id, ts_start,

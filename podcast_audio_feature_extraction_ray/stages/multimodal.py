@@ -169,14 +169,99 @@ def decode_media(ds, batch_size: int = 256, concurrency: int = 2, want_real: boo
     )
 
 
-def frame_sample(ds, every: int = 2):
-    """Frame-sampling analog: keep rows whose n_frames index stride
-    matches (placeholder for per-frame explode at real scale)."""
-    import pyarrow.compute as pc
+def attach_video_payload(ds, id_col: str = "doc_id"):
+    """Synthesize a deterministic multi-frame 'video' per row: ``n =
+    1 + id % 4`` REAL PNG frames concatenated back-to-back (a motion-PNG
+    stream), frame ``f``'s pixels ``(3x + 7y + s + 11f) % 256`` with the
+    same per-doc geometry as ``attach_png_payload`` — every sampled
+    frame's pixel_sum is recomputable by the DuckDB oracle."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.equal(pc.bit_wise_and(batch["n_frames"], every - 1), 0)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        payloads = []
+        nf = []
+        for i in ids:
+            i = int(i)
+            w = 16 + (i * 7) % 48
+            h = 16 + (i * 13) % 32
+            n = 1 + i % 4
+            base = (
+                3 * np.arange(w, dtype=np.int64)[None, :]
+                + 7 * np.arange(h, dtype=np.int64)[:, None]
+                + i % 251
+            )
+            payloads.append(
+                b"".join(
+                    _png.png_encode(((base + 11 * f) % 256).astype(np.uint8))
+                    for f in range(n)
+                )
+            )
+            nf.append(n)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "media_type": pa.array(["video/mpng"] * batch.num_rows),
+                "n_frames": pa.array(np.asarray(nf, dtype=np.int64)),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _split_pngs(data: bytes) -> list[bytes]:
+    """Split a concatenated-PNG stream on signature boundaries (each
+    frame starts with the 8-byte PNG signature; chunk walking finds the
+    IEND of each frame). Payload parsing is inherently per-item; the
+    cost is O(chunks), not O(bytes)."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 8] != _png.SIGNATURE:
+            raise ValueError("not a PNG frame boundary")
+        start = pos
+        pos += 8
+        while pos + 8 <= n:
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            pos += 12 + length
+            if tag == b"IEND":
+                break
+        frames.append(data[start:pos])
+    return frames
+
+
+def explode_frames(ds, every: int = 1):
+    """Per-frame explode + stride sample in ONE pass: emit one row per
+    kept frame (``frame_idx % every == 0``) with the frame's own PNG as
+    ``payload``. Sampling happens BEFORE the decode stage, so skipped
+    frames never cost a zlib inflate — the frame-sampling shape of a
+    real video pipeline (decode only what you keep). Output rows feed
+    ``decode_media(want_real=True)`` unchanged."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        keep_other = [c for c in batch.column_names if c not in ("payload", "n_frames")]
+        rep_idx = []
+        fidx = []
+        out_payloads = []
+        for r, p in enumerate(payloads):
+            frames = _split_pngs(p)
+            for f in range(0, len(frames), every):
+                rep_idx.append(r)
+                fidx.append(f)
+                out_payloads.append(frames[f])
+        take = pa.array(np.asarray(rep_idx, dtype=np.int64))
+        cols = {c: batch[c].take(take) for c in keep_other}
+        cols["frame_idx"] = pa.array(np.asarray(fidx, dtype=np.int64))
+        cols["payload"] = pa.array(out_payloads, type=pa.binary())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def frame_sample(ds, every: int = 2):
+    """Frame-sampling: real per-frame explode + stride (kept as the
+    public name; ``explode_frames`` does the work in one pass)."""
+    return explode_frames(ds, every=every)

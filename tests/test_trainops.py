@@ -356,6 +356,33 @@ def test_multimodal_png_real_decode(docs_ds, docs_df):
         )
 
 
+def test_multimodal_frame_explode_and_sample(docs_ds, docs_df):
+    """Frame explode emits one row per kept frame with the frame's OWN
+    decodable PNG; stride sampling keeps frame_idx % every == 0; decoded
+    pixel sums match the per-frame gradient loop oracle."""
+    from podcast_audio_feature_extraction_ray.stages import multimodal as mm
+
+    vids = mm.attach_video_payload(docs_ds)
+    out = (
+        mm.decode_media(mm.frame_sample(vids, every=2), want_real=True)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for i in docs_df.doc_id.astype(int):
+        n = 1 + i % 4
+        for f in range(0, n, 2):
+            rows.append((i, f))
+    assert list(zip(out.doc_id.astype(int), out.frame_idx.astype(int))) == rows
+    for _, r in out.head(20).iterrows():
+        i, f = int(r.doc_id), int(r.frame_idx)
+        w, h, s = 16 + (i * 7) % 48, 16 + (i * 13) % 32, i % 251
+        grid = (3 * np.arange(w)[None, :] + 7 * np.arange(h)[:, None] + s + 11 * f) % 256
+        assert (r.width, r.height) == (w, h)
+        assert r.pixel_sum == int(grid.sum())
+
+
 def test_ngram_jaccard_verify_empty_docs():
     """Empty/whitespace docs share the minhash EMPTY_SENTINEL signature,
     so the LSH emits candidate pairs for them; the verifier must KEEP
