@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_frame_windows": q.w1_frame_windows,
         "w2_chunked_frame_windows": q.w2_chunked_frame_windows,
         "w2b_sidechannel_sessions": q.w2b_sidechannel_sessions,
+        "w2c_blockref_sessions": q.w2c_blockref_sessions,
         "w3_segment_windows": q.w3_segment_windows,
         "g_window_aggs": q.g_window_aggs,
         "lag_lead_windows": q.lag_lead_windows,

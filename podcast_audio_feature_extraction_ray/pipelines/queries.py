@@ -65,6 +65,17 @@ def w2b_sidechannel_sessions(sf_dir: str):
     ).select_columns(WIN_COLS)
 
 
+def w2c_blockref_sessions(sf_dir: str):
+    """W2 on the block-reference exchange (``payload="blockref"``,
+    ``stages/segment.py``): token values stay in the ORIGINAL read blocks
+    (no ray.put copy — pointers into registered block refs), hot-key
+    discovery shares the same materialized blocks. Output must be
+    bit-identical to W1, hash-verified against the same SQL oracle."""
+    return seg.segment_sessions(
+        _tokens(sf_dir), FRAME_Q, payload="blockref", num_buckets=32
+    ).select_columns(WIN_COLS)
+
+
 def w3_segment_windows(sf_dir: str):
     """W3: inclusive-bound transcript-style segments + per-window counts
     (reference ``src/search/index.py:55-110``)."""

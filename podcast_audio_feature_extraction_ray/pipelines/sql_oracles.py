@@ -50,6 +50,7 @@ SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens FROM frame
 SQL["w2_chunked_frame_windows"] = SQL["w1_frame_windows"]
 
 SQL["w2b_sidechannel_sessions"] = SQL["w1_frame_windows"]
+SQL["w2c_blockref_sessions"] = SQL["w1_frame_windows"]
 
 # segment windows: s = k*H for k in [0, ceil((L-1)/H)), inclusive ticks [s, s+W]
 SQL["w3_segment_windows"] = f"""

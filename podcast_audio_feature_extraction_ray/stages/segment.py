@@ -282,12 +282,49 @@ def _segment_sorted_block(
 # array; entries are shared-memory views, not copies
 _worker_payload_cache: dict = {}
 
+# blockref payload uids are CHUNK-granular: the registry stores the block
+# ref under an aligned base uid and chunk j of that block is uid base + j.
+# Chunk granularity matters because a block column is a ChunkedArray and
+# ``combine_chunks`` COPIES (even for one chunk — measured 1.5 s per
+# 800 MB block, paid per reduce worker per block); raw chunk buffers
+# (.offsets respects the slice, .values is the full child) are zero-copy.
+_UID_CHUNK_BITS = 24
+_UID_BLOCK_MASK = ~((1 << _UID_CHUNK_BITS) - 1)
+
+
+def _chunk_pointers(col, uid_base: int):
+    """Per-row (voff, vlen, uid) pointer arrays for a list column's raw
+    chunks — no combine, no copy of values. ``voff`` indexes each chunk's
+    FULL child buffer (valid for sliced chunks)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    assert len(chunks) < (1 << _UID_CHUNK_BITS)
+    voffs, vlens, uids = [], [], []
+    for j, ch in enumerate(chunks):
+        off = ch.offsets.to_numpy().astype(np.int64, copy=False)
+        voffs.append(off[:-1])
+        vlens.append(np.diff(off))
+        uids.append(np.full(len(off) - 1, uid_base + j, dtype=np.int64))
+    return (
+        np.concatenate(voffs) if len(voffs) > 1 else voffs[0].copy(),
+        np.concatenate(vlens) if len(vlens) > 1 else vlens[0],
+        np.concatenate(uids) if len(uids) > 1 else uids[0],
+    )
+
+
+def _chunk_values(col) -> list[np.ndarray]:
+    """Zero-copy FULL child values buffer of each raw chunk."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    return [ch.values.to_numpy(zero_copy_only=False) for ch in chunks]
+
 
 class _BufRegistry:
     """Tiny bookkeeping actor for the side-channel payload exchange: maps
-    ``uid -> ObjectRef`` of a tag task's token-values array. Holding the
-    refs pins the objects until the registry (and the Dataset plan whose
-    closures hold its handle) is garbage-collected. ``num_cpus=0``."""
+    ``uid -> ObjectRef`` of a tag task's token-values array (payload
+    ``"sidechannel"``) or of a whole materialized READ BLOCK (payload
+    ``"blockref"`` — the values are extracted zero-copy on first use by
+    each reduce worker). Holding the refs pins the objects until the
+    registry (and the Dataset plan whose closures hold its handle) is
+    garbage-collected. ``num_cpus=0``."""
 
     def __init__(self):
         self._refs: dict = {}
@@ -295,6 +332,10 @@ class _BufRegistry:
     def register(self, uid: int, ref_list) -> None:
         # ref wrapped in a list so Ray does NOT auto-dereference it
         self._refs[uid] = ref_list[0]
+
+    def register_many(self, uids, ref_lists) -> None:
+        for u, rl in zip(uids, ref_lists):
+            self._refs[u] = rl[0]
 
     def fetch(self, uids):
         return [self._refs[u] for u in uids]  # KeyError -> caller retries
@@ -642,9 +683,24 @@ def segment_sessions(
     unrecoverable mid-run — a retried reduce task cannot re-derive them
     (lineage stops at ``ray.put``). Use for throughput on healthy
     clusters; default ``inline`` keeps full task-lineage recovery.
+
+    ``payload="blockref"``: sidechannel minus the ``ray.put`` copy. The
+    token values already sit in the object store as the read tasks'
+    output blocks, so the stage materializes the read once
+    (``to_arrow_refs``), registers each BLOCK's ObjectRef, and tag tasks
+    ship pointers into those blocks; reduce workers extract the values
+    child buffer zero-copy on first touch. One full plasma write of the
+    corpus (and one read of it) disappears vs ``sidechannel``, and the
+    same materialized blocks feed hot-key discovery — exactly one scan
+    of the input for the whole stage. Recovery is strictly better than
+    ``sidechannel`` (blocks re-derive from read-task lineage; a ray.put
+    does not), at the cost of losing read→tag streaming overlap (tag is
+    pointer math, so the overlap was worth little). Memory profile
+    matches ``sidechannel``: the exchange pins the payload either way.
     """
     sk, ok = tuple(session_key), tuple(order_key)
-    sidechannel = payload == "sidechannel" and impl == "bucket"
+    blockref = payload == "blockref" and impl == "bucket"
+    sidechannel = (payload == "sidechannel" or blockref) and impl == "bucket"
 
     if impl == "groups":
         ct = chunk_ticks
@@ -660,6 +716,28 @@ def segment_sessions(
     registry = None
     if sidechannel:
         registry = _ray.remote(num_cpus=0)(_BufRegistry).remote()
+
+    block_refs = None
+    if blockref:
+        # ``payload="blockref"``: the token values ALREADY live in the
+        # object store as the read tasks' output blocks — re-``ray.put``
+        # ing them per tag task (payload="sidechannel") writes one full
+        # extra copy of the corpus through plasma. Materialize the read
+        # once, register each block's ObjectRef under a run-unique uid,
+        # and ship only (uid, offset, len) pointers; reduce workers
+        # extract the values child buffer zero-copy on first touch.
+        # Memory profile is unchanged vs sidechannel (the exchange pins
+        # payload objects either way); recovery is BETTER: a lost block
+        # re-derives from its read task's lineage, a lost ray.put does
+        # not. The same materialized blocks feed hot-key discovery, so
+        # the stage scans the input exactly once.
+        import ray.data as _rd
+
+        block_refs = ds.to_arrow_refs()
+        if meta_ds is None:
+            meta_ds = _rd.from_arrow_refs(block_refs).select_columns(
+                [*sk, *ok, "n_tok"]
+            )
 
     lag_n = int(opts.get("lag") or 0)
     lead_n = int(opts.get("lead") or 0)
@@ -731,9 +809,17 @@ def segment_sessions(
             )
         return h, (hb % np.uint64(num_buckets)).astype(np.int64)
 
-    def tag(batch: pa.Table) -> pa.Table:
+    def tag(batch: pa.Table, _pre=None) -> pa.Table:
+        """Tag one block with (bucket, hash, chunk[, payload pointers]).
+
+        ``_pre``: blockref path — ``(voff, vlen, n_tok_np, uid)`` already
+        extracted from the registered read block (tokens/n_tok dropped by
+        the caller); no ray.put happens in that mode."""
         voff = vlen = None
-        if sidechannel:
+        uid_row = None
+        if sidechannel and _pre is not None:
+            voff, vlen, uid_row, n_tok_np = _pre
+        elif sidechannel:
             # payload stays OUT of the exchange: values go to the object
             # store once; rows carry only (uid, offset, len) pointers
             values_all, offsets_all = list_buffers(batch["tokens"])
@@ -800,18 +886,21 @@ def segment_sessions(
                 if sidechannel:
                     # duplication copies 16 bytes of pointers, not tokens
                     voff, vlen = voff[all_idx], vlen[all_idx]
+                    if uid_row is not None:
+                        uid_row = uid_row[all_idx]
         h, bucket = _bucket_of(kdf, np.where(chunk >= 0, chunk, 0) * (chunk >= 0))
         if sidechannel:
             import os as _os
 
-            uid = int.from_bytes(_os.urandom(8), "little") >> 1
-            ref = _ray.put(np.ascontiguousarray(values_all))
-            # synchronous register: the uid is resolvable before this tag
-            # task's output block exists, so per_bucket can never miss it
-            _ray.get(registry.register.remote(uid, [ref]))
-            batch = batch.append_column(
-                "__uid", pa.array(np.full(batch.num_rows, uid, dtype=np.int64))
-            )
+            if uid_row is None:
+                uid = int.from_bytes(_os.urandom(8), "little") >> 1
+                ref = _ray.put(np.ascontiguousarray(values_all))
+                # synchronous register: the uid is resolvable before this
+                # tag task's output block exists, so per_bucket can never
+                # miss it
+                _ray.get(registry.register.remote(uid, [ref]))
+                uid_row = np.full(batch.num_rows, uid, dtype=np.int64)
+            batch = batch.append_column("__uid", pa.array(uid_row))
             batch = batch.append_column("__voff", pa.array(voff))
             batch = batch.append_column("__vlen", pa.array(vlen))
         batch = batch.append_column("__h", pa.array(h.view(np.int64)))
@@ -841,7 +930,16 @@ def segment_sessions(
             # long-lived worker can't pin unbounded payload objects.
             cache = _worker_payload_cache
             miss = [u for u in uniq if u not in cache]
-            if miss:
+            if miss and blockref:
+                # uid -> (block base, chunk): fetch each missing BLOCK
+                # once and cache every chunk's raw values buffer
+                # (zero-copy plasma views — combine_chunks would copy)
+                blks = sorted({u & _UID_BLOCK_MASK for u in miss})
+                tbls = _ray.get(_ray.get(registry.fetch.remote(blks)))
+                for bu, tb in zip(blks, tbls):
+                    for j, v in enumerate(_chunk_values(tb.column("tokens"))):
+                        cache[bu + j] = v
+            elif miss:
                 refs = _ray.get(registry.fetch.remote(miss))
                 for u, arr in zip(miss, _ray.get(refs)):
                     cache[u] = arr
@@ -893,13 +991,55 @@ def segment_sessions(
     # exchange: sort-based groupby. (A keyed-repartition hash exchange was
     # measured under DataContext HASH_SHUFFLE and was strictly slower on
     # this Ray version — the sort path stays.)
-    # batch_size=None: one tag call per BLOCK. The default 1024-row batch
-    # would pay the side-channel ray.put + sync registry round-trip (and
-    # the hot-key lookup setup) ~rows/1024 times instead of once per block
-    # — measured as the tag stage anti-scaling at higher parallelism.
-    tagged = ds.map_batches(
-        tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
+    if blockref and block_refs:
+        import os as _os
+
+        import ray.data as _rd
+
+        # run-unique RANDOM base uid per block (aligned so chunk j of the
+        # block is base + j — see _UID_CHUNK_BITS): reduce workers cache
+        # uid -> values across Dataset runs in one Ray session, so block
+        # INDICES alone would alias a previous run's payloads
+        uids: list[int] = []
+        seen_u: set[int] = set()
+        while len(uids) < len(block_refs):
+            u = (int.from_bytes(_os.urandom(8), "little") >> 1) & _UID_BLOCK_MASK
+            if u not in seen_u:
+                seen_u.add(u)
+                uids.append(u)
+        # register BEFORE tagging: every uid resolves before any tagged
+        # block can reach a reduce task (and the registry pins the blocks
+        # for the lifetime of the exchange)
+        _ray.get(
+            registry.register_many.remote(uids, [[r] for r in block_refs])
+        )
+
+        @_ray.remote
+        def _tag_block(tbl: pa.Table, uid_base_: int) -> pa.Table:
+            # pointers only — token values never leave the block; raw
+            # chunk offsets, NO combine_chunks (it copies, even for a
+            # single chunk)
+            voff, vlen, uid_row = _chunk_pointers(tbl.column("tokens"), uid_base_)
+            n_tok_np = tbl["n_tok"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            tbl = tbl.drop_columns(
+                [c for c in ("tokens", "n_tok") if c in tbl.column_names]
+            )
+            return tag(tbl, _pre=(voff, vlen, uid_row, n_tok_np))
+
+        tagged = _rd.from_arrow_refs(
+            [_tag_block.remote(r, u) for r, u in zip(block_refs, uids)]
+        )
+    else:
+        # batch_size=None: one tag call per BLOCK. The default 1024-row
+        # batch would pay the side-channel ray.put + sync registry
+        # round-trip (and the hot-key lookup setup) ~rows/1024 times
+        # instead of once per block — measured as the tag stage
+        # anti-scaling at higher parallelism.
+        tagged = ds.map_batches(
+            tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
     if sidechannel:
         # the tagged stream is now ~40 B/row metadata; its block count sets
         # the sort's reduce fan-out, so spread it to ~2 tasks per core

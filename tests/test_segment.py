@@ -338,16 +338,19 @@ def test_hot_split_windows_with_fallback_index(tiny_tokens, tiny_df):
 
 def test_sidechannel_payload_equivalence(tiny_tokens, tiny_df):
     """payload='sidechannel' (zero-copy exchange: tokens via object
-    store, pointers via sort) must emit bit-identical windows to the
-    inline exchange — including hot-split chunks, aggregates, tokens,
-    and lag/lead."""
-    for spec, split in (
-        (WindowSpec(16, 8, "frame"), 64),
-        (WindowSpec(24, 12, "segment"), 96),
-    ):
-        got = seg.segment_sessions(
-            rd.from_arrow(tiny_tokens), spec, num_buckets=8, split_ticks=split,
-            with_aggregates=True, lag=8, lead=8, payload="sidechannel",
-        ).to_pandas()
-        want = oracle.oracle_segment(tiny_df, spec, lag=8, lead=8)
-        assert_windows_equal(got, want)
+    store, pointers via sort) and payload='blockref' (pointers into the
+    ORIGINAL read blocks, no ray.put copy) must emit bit-identical
+    windows to the inline exchange — including hot-split chunks,
+    aggregates, tokens, and lag/lead."""
+    for payload in ("sidechannel", "blockref"):
+        for spec, split in (
+            (WindowSpec(16, 8, "frame"), 64),
+            (WindowSpec(24, 12, "segment"), 96),
+        ):
+            got = seg.segment_sessions(
+                rd.from_arrow(tiny_tokens), spec, num_buckets=8,
+                split_ticks=split, with_aggregates=True, lag=8, lead=8,
+                payload=payload,
+            ).to_pandas()
+            want = oracle.oracle_segment(tiny_df, spec, lag=8, lead=8)
+            assert_windows_equal(got, want)
