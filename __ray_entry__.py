@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s12_dead_letter": q.s12_dead_letter,
         "vocab_topk": q.vocab_topk,
         "quality_filter": q.quality_filter,
+        "contamination_check_q": q.contamination_check_q,
+        "unk_remap": q.unk_remap,
         "m3_clean_text": q.m3_clean_text,
         "s11_json_roundtrip": q.s11_json_roundtrip,
         "dedup_lsh_verified": q.dedup_lsh_verified,  # rows-only

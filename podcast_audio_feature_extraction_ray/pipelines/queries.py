@@ -947,7 +947,7 @@ def j4_qrels_eval(sf_dir: str):
     return out
 
 
-def vocab_topk(sf_dir: str):
+def vocab_topk(sf_dir: str, k: int = 50):
     """Corpus vocabulary builder (the BPE-prep shape): global token
     frequencies via per-batch ``bincount`` partials (token ids are a
     bounded vocab, so each batch contributes at most |vocab| rows no
@@ -976,7 +976,7 @@ def vocab_topk(sf_dir: str):
         .groupby("token")
         .aggregate(Sum("n", alias_name="n_occurrences"))
     )
-    out = topk.top_k(totals, "n_occurrences", 50, tiebreak=["token"])
+    out = topk.top_k(totals, "n_occurrences", k, tiebreak=["token"])
     # rank the k-row result driver-side (the top-k output can span
     # multiple blocks, and a per-block rank would restart at 1)
     df = out.to_pandas()
@@ -1008,6 +1008,69 @@ def quality_filter(sf_dir: str):
         )
 
     return q.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def contamination_check_q(sf_dir: str):
+    """Benchmark-decontamination primitive (GPT-3 appendix C / C4 rule):
+    per TRAIN doc, distinct word 3-grams and how many also occur in the
+    EVAL split (``doc_id % 13 == 0`` — a deterministic stand-in for a
+    held-out benchmark). Eval gram-hash set reduced per batch, collected
+    once, broadcast via ``ray.put``; train side streams one map_batches
+    (``stages/contam.py``). Counts use 64-bit gram hashes; the string-
+    based SQL oracle matches barring 2^-64 collisions."""
+    from podcast_audio_feature_extraction_ray.stages import contam
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(want_eval: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((ids % 13 == 0) == want_eval))
+
+        return fn
+
+    ev = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    tr = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    grams = contam.eval_gram_hashes(ev, n=3)
+    return contam.contamination_check(tr, grams, n=3)
+
+
+def unk_remap(sf_dir: str):
+    """Rare-token -> UNK remap counts (the vocabulary-pruning step before
+    training): build the top-50 vocabulary (same ranking as
+    ``vocab_topk``), broadcast the sorted token ids via ``ray.put``, and
+    stream the token table once counting per doc how many tokens fall
+    outside the vocabulary — one ``searchsorted`` per batch, per-row
+    counts by offset-diff of a cumulative sum (zero Python row loops)."""
+    import ray as _ray
+
+    from podcast_audio_feature_extraction_ray.arrow_utils import list_buffers
+
+    vdf = vocab_topk(sf_dir, k=16)
+    vocab = np.sort(vdf["token"].to_numpy().astype(np.int64))
+    ref = _ray.put(vocab)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        values, offsets = list_buffers(batch["tokens"])
+        v = _ray.get(ref)
+        vals = values.astype(np.int64)
+        pos = np.searchsorted(v, vals)
+        safe = np.minimum(pos, len(v) - 1)
+        unk = ~((pos < len(v)) & (v[safe] == vals))
+        cs = np.concatenate([[0], np.cumsum(unk, dtype=np.int64)])
+        n_unk = cs[offsets[1:]] - cs[offsets[:-1]]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tok": pa.array(np.diff(offsets).astype(np.int64)),
+                "n_unk": pa.array(n_unk),
+            }
+        )
+
+    return _tokens(sf_dir).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def s12_dead_letter(sf_dir: str):

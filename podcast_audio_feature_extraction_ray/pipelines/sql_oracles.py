@@ -694,6 +694,33 @@ ranked AS (
 SELECT token, n_occurrences, rank FROM ranked WHERE rank <= 50
 """
 
+SQL["contamination_check_q"] = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+mx AS (SELECT max(len(w)) AS m FROM ws),
+idx AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+grams AS (
+  SELECT ws.doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+  FROM ws CROSS JOIN idx WHERE i + 2 <= len(w)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 13 <> 0)
+SELECT cast(doc_id AS bigint) AS doc_id,
+       cast(count(*) AS bigint) AS n_grams,
+       cast(count(*) FILTER (WHERE g IN (SELECT g FROM ev)) AS bigint) AS n_contam
+FROM tr GROUP BY doc_id
+"""
+
+SQL["unk_remap"] = f"""
+WITH {_TOK},
+flat AS (SELECT doc_id, source, cast(unnest(tokens) AS bigint) AS token FROM tok),
+cnt AS (SELECT token, count(*) AS n FROM flat GROUP BY token),
+ranked AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rank FROM cnt),
+vocab AS (SELECT token FROM ranked WHERE rank <= 16)
+SELECT doc_id, source, cast(count(*) AS bigint) AS n_tok,
+       cast(count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab)) AS bigint) AS n_unk
+FROM flat GROUP BY doc_id, source
+"""
+
 SQL["quality_filter"] = """
 WITH w AS (
   SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents

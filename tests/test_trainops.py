@@ -433,3 +433,82 @@ def test_simhash_pairs_degenerate_corpus_bounded():
     assert (got.hamming == 0).all()
     assert got.duplicated(["a", "b"]).sum() == 0
     assert (got.a < got.b).all()
+
+
+def test_contamination_check_loop_oracle(docs_ds, docs_df):
+    """Gram-hash contamination counts == a per-doc Python set oracle over
+    word 3-gram STRINGS (eval split doc_id % 13 == 0)."""
+    from podcast_audio_feature_extraction_ray.stages import contam
+
+    n = 3
+    is_eval = docs_df.doc_id % 13 == 0
+
+    def grams(text):
+        ws = text.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    ev_set = set().union(*[grams(t) for t in docs_df.text[is_eval]]) if is_eval.any() else set()
+    ev_ds = rd.from_pandas(docs_df[is_eval])
+    tr_ds = rd.from_pandas(docs_df[~is_eval])
+    eh = contam.eval_gram_hashes(ev_ds, n=n)
+    got = (
+        contam.contamination_check(tr_ds, eh, n=n)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, r in docs_df[~is_eval].iterrows():
+        g = grams(r.text)
+        if g:
+            rows.append((r.doc_id, len(g), len(g & ev_set)))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_contam"])
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.n_grams.tolist() == want.n_grams.tolist()
+    assert got.n_contam.tolist() == want.n_contam.tolist()
+
+
+def test_contamination_empty_eval(docs_ds, docs_df):
+    """An empty eval gram set yields n_contam == 0 everywhere."""
+    from podcast_audio_feature_extraction_ray.stages import contam
+
+    got = contam.contamination_check(
+        rd.from_pandas(docs_df.head(20)), np.empty(0, dtype=np.uint64), n=3
+    ).to_pandas()
+    assert (got.n_contam == 0).all() and (got.n_grams > 0).any()
+
+
+def test_unk_remap_loop_oracle():
+    """unk_remap counts == per-doc Python counts against the same top-16
+    vocabulary (count desc, token asc tie-break)."""
+    from collections import Counter
+
+    from podcast_audio_feature_extraction_ray.pipelines import queries as q
+
+    got = q.unk_remap(SF).to_pandas().sort_values(["doc_id", "source"]).reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+    def toks(text):
+        return [len(w) * 31 + (ord(w[0]) if w else 0) for w in text.split(" ")]
+
+    cnt = Counter()
+    for t in docs.text:
+        cnt.update(toks(t))
+    vocab = set(
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    )
+    rows = []
+    for _, r in docs.iterrows():
+        tk = toks(r.text)
+        rows.append((str(r.doc_id), r.source, len(tk), sum(1 for t in tk if t not in vocab)))
+    want = (
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_tok", "n_unk"])
+        .sort_values(["doc_id", "source"])
+        .reset_index(drop=True)
+    )
+    assert got.n_tok.tolist() == want.n_tok.tolist()
+    assert got.n_unk.tolist() == want.n_unk.tolist()
