@@ -335,7 +335,10 @@ def run_scaling() -> None:
     BENCH_SCALE_LO/HI/REPS, TOKWIN_BENCH_MULT, TOKWIN_BENCH_CACHE."""
     lo = int(os.environ.get("BENCH_SCALE_LO", "2"))
     hi = int(os.environ.get("BENCH_SCALE_HI", "8"))
-    reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
+    # 4 repeats per level: this host's phantom load lands on one level of
+    # one run for minutes at a time; the recorded BASELINE.md distribution
+    # uses the same protocol (per-stage min across 4)
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "4"))
     window_keys = ("rows", "sessions", "asof")
     out = {}
     for n in (lo, hi):
