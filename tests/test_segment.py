@@ -354,3 +354,29 @@ def test_sidechannel_payload_equivalence(tiny_tokens, tiny_df):
             ).to_pandas()
             want = oracle.oracle_segment(tiny_df, spec, lag=8, lead=8)
             assert_windows_equal(got, want)
+
+
+def test_chunk_pointers_multichunk_sliced():
+    """blockref pointer math on a MULTI-chunk column with a SLICED chunk:
+    voff indexes each chunk's FULL child buffer (offsets respect the
+    slice, values do not), uids are chunk-granular, and gathering via
+    _chunk_values reconstructs every row exactly."""
+    import numpy as np
+
+    c1 = pa.array([[1, 2], [3], [4, 5, 6]], type=pa.list_(pa.int32()))
+    big = pa.array([[7], [8, 9], [10], [11, 12]], type=pa.list_(pa.int32()))
+    c2 = big.slice(1, 2)  # sliced chunk: offsets start mid-buffer
+    col = pa.chunked_array([c1, c2])
+    base = 1 << 24
+    voff, vlen, uid = seg._chunk_pointers(col, base)
+    vals = seg._chunk_values(col)
+    arrs = {base: vals[0], base + 1: vals[1]}
+    got = [
+        arrs[int(u)][int(o) : int(o) + int(n)].tolist()
+        for u, o, n in zip(uid, voff, vlen)
+    ]
+    assert got == [[1, 2], [3], [4, 5, 6], [8, 9], [10]]
+    assert uid.tolist() == [base, base, base, base + 1, base + 1]
+    # the sliced chunk's values buffer is the FULL child (len 6), and its
+    # offsets are absolute into it
+    assert len(vals[1]) == 6 and voff[3] == 1

@@ -91,6 +91,12 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, sqls = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd/comma-joined filter would otherwise run NOTHING and
+        # print a vacuous "FAILS: 0"
+        print(f"ERROR: unknown query names {sorted(unknown)}")
+        sys.exit(2)
     fails = 0
     for name, fn in qs.items():
         if only and name not in only:
