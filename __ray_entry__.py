@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s11_json_roundtrip": q.s11_json_roundtrip,
         "dedup_lsh_verified": q.dedup_lsh_verified,  # rows-only
         "dedup_clusters": q.dedup_clusters,          # rows-only
+        "repetition_signals_q": q.repetition_signals_q,
+        "tfidf_top_terms": q.tfidf_top_terms,
     }
 
 

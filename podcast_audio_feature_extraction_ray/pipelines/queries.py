@@ -1209,3 +1209,96 @@ def pack_training_sequences(sf_dir: str):
 
     packed = pack_sequences(_tokens(sf_dir), seq_len=256, num_buckets=16)
     return packed.select_columns(["bucket", "seq_no", "n_tok", "n_doc_boundaries"])
+
+
+def repetition_signals_q(sf_dir: str):
+    """Gopher-style repetition filters over documents: most-frequent-bigram
+    fraction + duplicated-trigram fraction per doc (stateless zero-shuffle;
+    the boilerplate/template-page drop signal from Rae et al. 2021)."""
+    from podcast_audio_feature_extraction_ray.stages.text import repetition_signals
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_signals(docs)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 10):
+    """Per-source TF-IDF top terms: per-batch vectorized (source, token)
+    tf partials AND (token) doc-frequency partials from ONE lexsort pass
+    each -> one small groupby (<= n_sources x |vocab| rows rides the
+    shuffle, never tokens) -> driver-side rank of the tiny result (the
+    vocab_topk bound). The idf is the rational ``N / df`` (not ``ln``):
+    exact-rounded IEEE division both sides, so the DuckDB oracle matches
+    bit-for-bit, and the ranking is the same monotone order."""
+    import pyarrow.parquet as pq
+
+    docs = _docs(sf_dir)
+    # doc count from parquet METADATA only — no data read, any corpus size
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, offs = scalar.word_tokens_arrow(batch["text"])
+        L = np.diff(offs)
+        t = vals.astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        src_u, src_code = np.unique(src, return_inverse=True)
+        doc_idx = np.repeat(np.arange(len(L), dtype=np.int64), L)
+        sidx = src_code[doc_idx].astype(np.int64)
+        if len(t) == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "token": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64()),
+                 "df": pa.array([], pa.int64())}
+            )
+
+        # tf per (source, token): one lexsort run-length pass
+        order = np.lexsort((t, sidx))
+        ts, ss = t[order], sidx[order]
+        chg = np.append(True, (ts[1:] != ts[:-1]) | (ss[1:] != ss[:-1]))
+        rs = np.flatnonzero(chg)
+        tf = np.diff(np.append(rs, len(order)))
+
+        # df partial: distinct (doc, token) pairs — each document lives
+        # wholly inside one batch (documents in = one row out per doc),
+        # so batch-local distinct counts SUM to the corpus df
+        order2 = np.lexsort((t, doc_idx))
+        td, tt = doc_idx[order2], t[order2]
+        new = np.append(True, (tt[1:] != tt[:-1]) | (td[1:] != td[:-1]))
+        pair_s, pair_t = src_code[td[new]].astype(np.int64), tt[new]
+        order3 = np.lexsort((pair_t, pair_s))
+        ps, pt = pair_s[order3], pair_t[order3]
+        chg3 = np.append(True, (pt[1:] != pt[:-1]) | (ps[1:] != ps[:-1]))
+        rs3 = np.flatnonzero(chg3)
+        df_part = np.diff(np.append(rs3, len(order3)))
+        # (source, token) key sets and sort orders coincide between the
+        # two passes (df>=1 wherever tf>0), so positions align
+        assert len(rs3) == len(rs)
+        return pa.table(
+            {
+                "source": pa.array(src_u[ss[rs]], pa.string()),
+                "token": pa.array(ts[rs]),
+                "tf": pa.array(tf.astype(np.int64)),
+                "df": pa.array(df_part.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    )
+    # driver-side finish on the tiny (n_sources x |vocab|) aggregate —
+    # the same documented bound as vocab_topk
+    pdf = totals.to_pandas()
+    df_tok = pdf.groupby("token")["df"].sum()
+    pdf["df"] = pdf["token"].map(df_tok).astype(np.int64)
+    pdf["tfidf"] = (pdf["tf"].to_numpy() * n_docs) / pdf["df"].to_numpy()
+    pdf = pdf.sort_values(
+        ["source", "tfidf", "token"], ascending=[True, False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    pdf["rank"] = (pdf.groupby("source").cumcount() + 1).astype(np.int64)
+    return pdf[pdf["rank"] <= k][
+        ["source", "token", "tf", "df", "tfidf", "rank"]
+    ].reset_index(drop=True)

@@ -741,3 +741,73 @@ FROM q
 WHERE n_stop / n_words > 0.09 AND n_words >= 50
   AND sum_len / n_words >= 3.0 AND sum_len / n_words <= 12.0
 """
+
+SQL["repetition_signals_q"] = """
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
+  FROM documents
+),
+t AS (
+  SELECT doc_id, len(tokens) AS L,
+         cast(unnest(tokens) AS bigint) AS tok,
+         generate_subscripts(tokens, 1) AS pos
+  FROM tok WHERE len(tokens) >= 3
+),
+big AS (
+  SELECT a.doc_id, a.L, a.tok AS t0, b.tok AS t1
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bcnt AS (SELECT doc_id, L, t0, t1, cast(count(*) AS bigint) AS n FROM big GROUP BY 1,2,3,4),
+btop AS (
+  SELECT doc_id, L, t0, t1, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, t0, t1) AS rk
+  FROM bcnt
+),
+tri AS (
+  SELECT a.doc_id, a.tok AS t0, b.tok AS t1, c.tok AS t2
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+tcnt AS (SELECT doc_id, t0, t1, t2, cast(count(*) AS bigint) AS n FROM tri GROUP BY 1,2,3,4),
+tdup AS (
+  SELECT doc_id,
+         cast(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS bigint) AS dup_n
+  FROM tcnt GROUP BY 1
+)
+SELECT b.doc_id,
+       cast(b.L AS bigint) AS n_tok,
+       b.t0 AS top_bigram_a,
+       b.t1 AS top_bigram_b,
+       b.n AS top_bigram_n,
+       cast(b.n AS double) / cast(b.L - 1 AS double) AS top_bigram_frac,
+       d.dup_n AS dup_trigram_n,
+       cast(d.dup_n AS double) / cast(b.L - 2 AS double) AS dup_trigram_frac
+FROM btop b JOIN tdup d USING (doc_id)
+WHERE b.rk = 1
+"""
+
+SQL["tfidf_top_terms"] = """
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS doc_id, source,
+         list_transform(string_split(text, ' '),
+                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
+  FROM documents
+),
+t AS (SELECT doc_id, source, cast(unnest(tokens) AS bigint) AS token FROM tok),
+tf AS (SELECT source, token, cast(count(*) AS bigint) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT token, cast(count(DISTINCT doc_id) AS bigint) AS df FROM t GROUP BY 1),
+n AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.token, tf.tf, df.df,
+         cast(tf.tf * n.n AS double) / cast(df.df AS double) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, token) AS r
+  FROM scored
+)
+SELECT source, token, tf, df, tfidf, cast(r AS bigint) AS rank
+FROM rk WHERE r <= 10
+"""

@@ -254,3 +254,97 @@ def train_test_split(ds, id_col: str = "doc_id", test_hex: str = "012"):
         return pa.table({id_col: batch[id_col], "split": lab})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals, one row per document with
+    >= 3 words (reference analog: the per-episode text-feature family,
+    ``src/features/`` — same one-doc-in, one-feature-row-out shape):
+
+    - ``top_bigram_n`` / ``top_bigram_frac`` — occurrences of the most
+      frequent word bigram and its fraction of all ``L-1`` bigrams (ties
+      broken by smallest ``(t0, t1)``; Rae et al. 2021 "Gopher" §A1.1
+      uses this to drop template/boilerplate pages),
+    - ``dup_trigram_n`` / ``dup_trigram_frac`` — number of trigram
+      positions whose trigram occurs more than once in the doc, over
+      ``L-2``.
+
+    Fully vectorized: tokens via ``word_tokens_arrow`` (the SQL-replicable
+    toy vocabulary), then lexsort run-length counting per (doc, n-gram) —
+    no Python loop over rows or grams. Per-doc state never leaves the
+    batch, so the stage is stateless/zero-shuffle: the 100-TB shape.
+    Fractions are single int64→float64 divisions, bit-identical to the
+    DuckDB oracle's ``cast(x AS double) / cast(y AS double)``.
+    """
+    from podcast_audio_feature_extraction_ray.functions.scalar import word_tokens_arrow
+
+    def _runs(keys: tuple[np.ndarray, ...]) -> tuple[np.ndarray, np.ndarray]:
+        # sorted run starts + lengths for composite keys (last key primary)
+        n = len(keys[0])
+        order = np.lexsort(keys)
+        srt = [k[order] for k in keys]
+        chg = np.zeros(n, dtype=bool)
+        chg[0] = True
+        for k in srt:
+            chg[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(chg)
+        lens = np.diff(np.append(starts, n))
+        return order, starts, lens
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals, offs = word_tokens_arrow(batch[text_col])
+        L = np.diff(offs)
+        ndoc = len(L)
+        t = vals.astype(np.int64)
+        doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), L)
+
+        top_a = np.zeros(ndoc, np.int64)
+        top_b = np.zeros(ndoc, np.int64)
+        top_n = np.zeros(ndoc, np.int64)
+        dup_tri = np.zeros(ndoc, np.int64)
+
+        if len(t) >= 2:
+            same = doc_idx[:-1] == doc_idx[1:]
+            bd, b0, b1 = doc_idx[:-1][same], t[:-1][same], t[1:][same]
+            if len(bd):
+                order, rs, rlen = _runs((b1, b0, bd))
+                rdoc = bd[order][rs]
+                # doc segments over the (doc-major) sorted runs
+                seg = np.flatnonzero(np.append(True, rdoc[1:] != rdoc[:-1]))
+                mx = np.maximum.reduceat(rlen, seg)
+                # first (= smallest (t0,t1)) run attaining the per-doc max
+                ismax = np.flatnonzero(rlen == np.repeat(mx, np.diff(np.append(seg, len(rlen)))))
+                first = ismax[np.searchsorted(ismax, seg)]
+                d = rdoc[seg]
+                top_a[d] = b0[order][rs[first]]
+                top_b[d] = b1[order][rs[first]]
+                top_n[d] = rlen[first]
+        if len(t) >= 3:
+            same = doc_idx[:-2] == doc_idx[2:]
+            td = doc_idx[:-2][same]
+            u0, u1, u2 = t[:-2][same], t[1:-1][same], t[2:][same]
+            if len(td):
+                order, rs, rlen = _runs((u2, u1, u0, td))
+                rdoc = td[order][rs]
+                seg = np.flatnonzero(np.append(True, rdoc[1:] != rdoc[:-1]))
+                contrib = np.where(rlen > 1, rlen, 0)
+                dup_tri[rdoc[seg]] = np.add.reduceat(contrib, seg)
+
+        keep = L >= 3
+        ids = batch[id_col].cast(pa.string()).to_numpy(zero_copy_only=False)[keep]
+        n_big = (L[keep] - 1).astype(np.int64)
+        n_tri = (L[keep] - 2).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.string()),
+                "n_tok": pa.array(L[keep].astype(np.int64)),
+                "top_bigram_a": pa.array(top_a[keep]),
+                "top_bigram_b": pa.array(top_b[keep]),
+                "top_bigram_n": pa.array(top_n[keep]),
+                "top_bigram_frac": pa.array(top_n[keep] / n_big),
+                "dup_trigram_n": pa.array(dup_tri[keep]),
+                "dup_trigram_frac": pa.array(dup_tri[keep] / n_tri),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -104,3 +104,96 @@ def test_word_tokens_arrow_matches_loop():
         got_v, got_o = word_tokens_arrow(pa.array(texts, type=typ))
         assert np.array_equal(got_o, want_o), typ
         assert np.array_equal(got_v, want_v), typ
+
+
+def _rep_signals_loop(text: str):
+    """Pure-Python reference for repetition_signals (one doc)."""
+    words = text.split(" ")
+    toks = [len(w) * 31 + (ord(w[0]) if w else 0) for w in words]
+    L = len(toks)
+    if L < 3:
+        return None
+    bigs = list(zip(toks, toks[1:]))
+    from collections import Counter
+
+    bc = Counter(bigs)
+    top_n = max(bc.values())
+    top = min(b for b, n in bc.items() if n == top_n)  # tie: smallest (t0,t1)
+    tc = Counter(zip(toks, toks[1:], toks[2:]))
+    dup = sum(n for n in tc.values() if n > 1)
+    return dict(
+        n_tok=L, top_bigram_a=top[0], top_bigram_b=top[1], top_bigram_n=top_n,
+        top_bigram_frac=top_n / (L - 1), dup_trigram_n=dup,
+        dup_trigram_frac=dup / (L - 2),
+    )
+
+
+def test_repetition_signals_matches_loop_oracle(ray_session):
+    from podcast_audio_feature_extraction_ray.stages.text import repetition_signals
+
+    docs = [
+        "a b a b a b c",          # clear top bigram (a,b)
+        "x y z",                  # single bigram each, tie on count=1
+        "t t t t t",              # one repeated unigram: bigram (t,t) x4, trigram x3
+        "one two",                # L=2 -> dropped
+        "solo",                   # L=1 -> dropped
+        "p q p q r p q p q r s",  # duplicated trigrams (p,q,p),(q,p,q),(q,r,p)...
+        "aa bb aa bb cc aa bb",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [f"d{i}" for i in range(len(docs))], "text": docs})
+    )
+    got = repetition_signals(ds).to_pandas().set_index("doc_id").sort_index()
+    want = {
+        f"d{i}": r for i, t in enumerate(docs) if (r := _rep_signals_loop(t))
+    }
+    assert sorted(got.index) == sorted(want)
+    for did, exp in want.items():
+        row = got.loc[did]
+        for k, v in exp.items():
+            assert row[k] == v, (did, k, row[k], v)
+
+
+def test_repetition_signals_tie_breaks_smallest_bigram(ray_session):
+    from podcast_audio_feature_extraction_ray.stages.text import repetition_signals
+
+    # "b a b a" and "a b a b" style ties: every bigram count equal
+    ds = rd.from_arrow(pa.table({"doc_id": ["t"], "text": ["z y z y x"]}))
+    out = repetition_signals(ds).to_pandas().iloc[0]
+    # bigrams: (z,y)x2 (y,z)x1 (y,x)x1 -> top is (z,y); but check tie case
+    tz, ty = 31 + ord("z"), 31 + ord("y")
+    assert (out.top_bigram_a, out.top_bigram_b, out.top_bigram_n) == (tz, ty, 2)
+
+
+def test_tfidf_alignment_on_crafted_batch(ray_session):
+    # multi-source batch exercises the tf/df two-pass positional alignment
+    from podcast_audio_feature_extraction_ray.pipelines import queries as q
+    import os, tempfile
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(6)],
+            "text": ["a b a", "b c", "a a a", "c c b", "d", "a d"],
+            "source": ["s1", "s2", "s1", "s2", "s1", "s3"],
+            "lang": ["en"] * 6,
+            "n_chars": pa.array([5, 3, 5, 5, 1, 3], pa.int32()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(tbl, os.path.join(td, "documents.parquet"))
+        got = q.tfidf_top_terms(td)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{td}/documents.parquet'"
+        )
+        from podcast_audio_feature_extraction_ray.pipelines.sql_oracles import SQL
+
+        want = con.execute(SQL["tfidf_top_terms"]).df()
+        g = got.sort_values(["source", "rank"]).reset_index(drop=True)
+        w = want.sort_values(["source", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[["source", "token", "tf", "df", "tfidf", "rank"]],
+            w[["source", "token", "tf", "df", "tfidf", "rank"]],
+            check_dtype=False,
+        )
