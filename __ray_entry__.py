@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q.dedup_clusters,          # rows-only
         "repetition_signals_q": q.repetition_signals_q,
         "tfidf_top_terms": q.tfidf_top_terms,
+        "audio_frame_energy": q.audio_frame_energy,
     }
 
 

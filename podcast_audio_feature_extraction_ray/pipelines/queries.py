@@ -1302,3 +1302,25 @@ def tfidf_top_terms(sf_dir: str, k: int = 10):
     return pdf[pdf["rank"] <= k][
         ["source", "token", "tf", "df", "tfidf", "rank"]
     ].reset_index(drop=True)
+
+
+AUDIO_SPEC = WindowSpec(160, 80, "frame")  # 20 ms frames / 10 ms hop at 8 kHz
+
+
+def audio_frame_energy(sf_dir: str):
+    """The reference's core pipeline shape — audio -> fixed-stride frames
+    -> per-frame functionals (``src/features/FeatureExtractor.py:36-67``,
+    opensmile frame functionals) — as three engine stages: synthesize a
+    REAL PCM16 WAV per doc, decode it with the stdlib RIFF codec
+    (actor pool), then run the UNCHANGED window engine over the sample
+    stream (``segment_rows``, zero shuffle). Every functional is exact
+    integer math until the same final double ops as the SQL oracle."""
+    from podcast_audio_feature_extraction_ray.stages import multimodal
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    tok = multimodal.decode_wav(multimodal.attach_wav_payload(docs))
+    win = seg.segment_rows(tok, AUDIO_SPEC, with_aggregates=True, emit_tokens=False)
+    return win.select_columns(
+        ["doc_id", "win_id", "ts_start", "ts_end", "n_tokens",
+         "tok_sum", "tok_mean", "tok_std", "tok_max", "tok_min"]
+    )

@@ -811,3 +811,43 @@ rk AS (
 SELECT source, token, tf, df, tfidf, cast(r AS bigint) AS rank
 FROM rk WHERE r <= 10
 """
+
+SQL["audio_frame_energy"] = """
+WITH syn AS (
+  SELECT cast(doc_id AS varchar) AS doc_id,
+         1 + cast(doc_id AS bigint) % 97 AS a,
+         cast(doc_id AS bigint) % 251 AS b,
+         800 + (cast(doc_id AS bigint) * 37) % 800 AS n
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, n AS L,
+         list_transform(range(0, n), j -> cast((a * j + b) % 65536 AS int)) AS tokens
+  FROM syn
+),
+win AS (
+  SELECT doc_id, tokens, L,
+         unnest(range(0, cast(ceil(L / 80.0) AS bigint))) AS win_id
+  FROM samp
+),
+frame AS (
+  SELECT doc_id, win_id, win_id * 80 AS ts_start,
+         least(win_id * 80 + 160, L) AS ts_end,
+         tokens[win_id * 80 + 1 : least(win_id * 80 + 160, L)] AS seg_tokens
+  FROM win
+),
+agg AS (
+  SELECT doc_id, win_id, ts_start, ts_end,
+         cast(len(seg_tokens) AS bigint) AS n_tokens,
+         cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint)), 'sum') AS bigint) AS tok_sum,
+         cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint) * cast(x AS bigint)), 'sum') AS bigint) AS tok_sq,
+         cast(list_aggregate(seg_tokens, 'max') AS bigint) AS tok_max,
+         cast(list_aggregate(seg_tokens, 'min') AS bigint) AS tok_min
+  FROM frame
+)
+SELECT doc_id, win_id, ts_start, ts_end, n_tokens, tok_sum,
+       tok_sum / n_tokens AS tok_mean,
+       sqrt(greatest(tok_sq / n_tokens - (tok_sum / n_tokens) * (tok_sum / n_tokens), 0.0)) AS tok_std,
+       tok_max, tok_min
+FROM agg
+"""

@@ -265,3 +265,91 @@ def frame_sample(ds, every: int = 2):
     """Frame-sampling: real per-frame explode + stride (kept as the
     public name; ``explode_frames`` does the work in one pass)."""
     return explode_frames(ds, every=every)
+
+
+# ---------------------------------------------------------------- audio
+
+def attach_wav_payload(ds, id_col: str = "doc_id", sample_rate: int = 8000):
+    """Synthesize a REAL deterministic PCM16 WAV per row (the audio
+    sibling of ``attach_png_payload``): a mod-65536 sawtooth
+    ``sample[j] = (a*j + b) % 65536 - 32768`` with ``a = 1 + id % 97``,
+    ``b = id % 251``, ``n = 800 + (id*37) % 800`` samples at 8 kHz —
+    every decoded frame functional is recomputable in closed form by the
+    DuckDB oracle (``audio_frame_energy``)."""
+    from podcast_audio_feature_extraction_ray.functions import wav as _wav
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            a, b = 1 + i % 97, i % 251
+            n = 800 + (i * 37) % 800
+            x = (a * np.arange(n, dtype=np.int64) + b) % 65536 - 32768
+            payloads.append(_wav.wav_encode(x.astype(np.int16), sample_rate))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "media_type": pa.array(["audio/wav"] * batch.num_rows),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class WavDecoder:
+    """Actor-pool WAV decode stage: real RIFF chunk walking + PCM16
+    frombuffer (``functions/wav.py`` — stdlib-only, genuinely real in
+    this container). Emits the engine's canonical token-table shape —
+    one session row per clip whose ``tokens`` are the unsigned-shifted
+    samples (``sample + 32768``, so the window kernels' nonnegative-
+    vocab bincounts apply) — which feeds ``segment_rows`` UNCHANGED:
+    audio -> frames -> functionals, the reference's core pipeline
+    (``src/features/FeatureExtractor.py:36-67``), expressed as two
+    engine stages."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        from podcast_audio_feature_extraction_ray.functions import wav as _wav
+
+        self.id_col = id_col
+        self._decode = _wav.wav_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from podcast_audio_feature_extraction_ray.arrow_utils import list_array
+
+        payloads = batch["payload"].to_pylist()
+        vals = []
+        offs = np.zeros(len(payloads) + 1, dtype=np.int64)
+        rates = np.empty(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            samples, rate = self._decode(p)
+            if samples.ndim != 1:
+                samples = samples.mean(axis=1).astype(np.int16)  # downmix
+            vals.append(samples.astype(np.int32) + 32768)
+            rates[i] = rate
+            offs[i + 1] = offs[i] + len(samples)
+        flat = np.concatenate(vals) if vals else np.empty(0, np.int32)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col].cast(pa.string()),
+                "tokens": list_array(flat, offs),
+                "n_tok": pa.array(np.diff(offs).astype(np.int32)),
+                "source": pa.array(["audio"] * n),
+                "seq_no": pa.array(np.zeros(n, dtype=np.int64)),
+                "sample_rate": pa.array(rates),
+            }
+        )
+
+
+def decode_wav(ds, batch_size: int = 256, concurrency: int = 2):
+    """WAV payloads -> token-table sessions (actor pool; batch_size by
+    payload budget, same rule as ``decode_media``)."""
+    return ds.map_batches(
+        WavDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

@@ -512,3 +512,54 @@ def test_unk_remap_loop_oracle():
     )
     assert got.n_tok.tolist() == want.n_tok.tolist()
     assert got.n_unk.tolist() == want.n_unk.tolist()
+
+
+def test_wav_codec_roundtrip_exact():
+    """Real WAV codec: PCM16 encode/decode bit-exact (mono + stereo),
+    chunk walking skips unknown chunks, out-of-scope formats rejected."""
+    import struct
+
+    from podcast_audio_feature_extraction_ray.functions import wav
+
+    rng = np.random.default_rng(11)
+    for n in (1, 7, 800, 1601):  # odd data lengths exercise the pad byte
+        x = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        got, rate = wav.wav_decode(wav.wav_encode(x, 8000))
+        assert rate == 8000 and np.array_equal(got, x)
+    st = rng.integers(-32768, 32768, size=(50, 2), dtype=np.int16)
+    got, rate = wav.wav_decode(wav.wav_encode(st, 44100))
+    assert rate == 44100 and got.shape == (50, 2) and np.array_equal(got, st)
+
+    # a LIST chunk before fmt/data must be skipped (real files have them)
+    x = rng.integers(-32768, 32768, size=9, dtype=np.int16)
+    enc = wav.wav_encode(x, 8000)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len, padded
+    patched = enc[:12] + extra + enc[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    got, rate = wav.wav_decode(patched)
+    assert np.array_equal(got, x)
+
+    with pytest.raises(ValueError):
+        wav.wav_decode(b"RIFFxxxxNOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        wav.wav_encode(x.astype(np.int32))
+    bad = bytearray(enc)
+    bad[20] = 3  # format tag 3 = IEEE float
+    with pytest.raises(ValueError):
+        wav.wav_decode(bytes(bad))
+
+
+def test_wav_decode_stage_feeds_window_engine(ray_session, docs_ds):
+    """attach_wav_payload -> WavDecoder emits the canonical token-table
+    shape; samples match the closed-form sawtooth, shifted unsigned."""
+    from podcast_audio_feature_extraction_ray.stages import multimodal as mm
+
+    out = mm.decode_wav(mm.attach_wav_payload(docs_ds.limit(8))).to_pandas()
+    assert list(out.columns) == ["doc_id", "tokens", "n_tok", "source", "seq_no", "sample_rate"]
+    for _, row in out.iterrows():
+        i = int(row.doc_id)
+        a, b = 1 + i % 97, i % 251
+        n = 800 + (i * 37) % 800
+        want = (a * np.arange(n, dtype=np.int64) + b) % 65536
+        assert row.n_tok == n and row.sample_rate == 8000
+        assert np.array_equal(np.asarray(row.tokens, dtype=np.int64), want)
