@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals_q": q.repetition_signals_q,
         "tfidf_top_terms": q.tfidf_top_terms,
         "audio_frame_energy": q.audio_frame_energy,
+        "dup_span_grams_q": q.dup_span_grams_q,
     }
 
 

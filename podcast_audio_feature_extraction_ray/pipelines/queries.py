@@ -1324,3 +1324,12 @@ def audio_frame_energy(sf_dir: str):
         ["doc_id", "win_id", "ts_start", "ts_end", "n_tokens",
          "tok_sum", "tok_mean", "tok_std", "tok_max", "tok_min"]
     )
+
+
+def dup_span_grams_q(sf_dir: str):
+    """Exact duplicate 6-token spans across documents (Lee et al. 2022
+    exact-substring dedup at n-gram granularity), top-100 by
+    (n_docs desc, n_occurrences desc, gram asc)."""
+    from podcast_audio_feature_extraction_ray.stages.dedup import dup_span_grams
+
+    return dup_span_grams(_docs(sf_dir), gram=6, base=1024, top=100)

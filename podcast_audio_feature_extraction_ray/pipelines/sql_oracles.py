@@ -851,3 +851,37 @@ SELECT doc_id, win_id, ts_start, ts_end, n_tokens, tok_sum,
        tok_max, tok_min
 FROM agg
 """
+
+SQL["dup_span_grams_q"] = """
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
+  FROM documents
+),
+t AS (SELECT doc_id, tokens, len(tokens) AS L FROM tok WHERE len(tokens) >= 6),
+pos AS (SELECT doc_id, tokens, unnest(range(0, L - 5)) AS i FROM t),
+g AS (
+  SELECT doc_id,
+         cast(tokens[i+1] AS bigint) * 1125899906842624
+       + cast(tokens[i+2] AS bigint) * 1099511627776
+       + cast(tokens[i+3] AS bigint) * 1073741824
+       + cast(tokens[i+4] AS bigint) * 1048576
+       + cast(tokens[i+5] AS bigint) * 1024
+       + cast(tokens[i+6] AS bigint) AS gram
+  FROM pos
+),
+agg AS (
+  SELECT gram,
+         cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+         cast(count(*) AS bigint) AS n_occurrences
+  FROM g GROUP BY 1
+),
+rk AS (
+  SELECT gram, n_docs, n_occurrences,
+         row_number() OVER (ORDER BY n_docs DESC, n_occurrences DESC, gram) AS r
+  FROM agg WHERE n_docs >= 2
+)
+SELECT gram, n_docs, n_occurrences, cast(r AS bigint) AS rank
+FROM rk WHERE r <= 100
+"""

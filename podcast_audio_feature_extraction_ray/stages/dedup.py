@@ -617,3 +617,101 @@ def ngram_jaccard_verify(
         .groupby("__cb")
         .map_groups(count_pairs, batch_format="pyarrow")
     )
+
+
+def dup_span_grams(ds, text_col: str = "text", id_col: str = "doc_id",
+                   gram: int = 6, base: int = 1024, top: int = 100):
+    """Exact duplicate-SPAN detection across documents (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    exact-substring family, at n-gram granularity): every ``gram``-token
+    span is encoded as ONE mixed-radix int64 and counted corpus-wide;
+    spans appearing in >= 2 distinct documents come back ranked by
+    (n_docs desc, n_occurrences desc, gram asc), top ``top``.
+
+    Scale shape: per-batch lexsort distinct (doc, gram) -> per-gram
+    PARTIAL (n_docs, n_occurrences) rows ride the ONE small groupby —
+    the shuffle moves gram counts, never text — then a per-batch top-k
+    prune bounds the final sort to ``top x n_batches`` rows. The exact
+    int64 encoding (vs a hash) is what makes the DuckDB oracle
+    replicable; it requires every token id < ``base`` and
+    ``base**gram <= 2**63`` — violated input raises rather than
+    silently colliding (use minhash/simhash for open vocabularies).
+    """
+    from podcast_audio_feature_extraction_ray.functions.scalar import word_tokens_arrow
+    from podcast_audio_feature_extraction_ray.stages import topk as _topk
+
+    if base ** gram > 2 ** 63:
+        raise ValueError(f"base**gram {base}**{gram} overflows int64")
+    pows = (base ** np.arange(gram - 1, -1, -1, dtype=np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, offs = word_tokens_arrow(batch[text_col])
+        t = vals.astype(np.int64)
+        if len(t) and int(t.max()) >= base:
+            raise ValueError(
+                f"token id {int(t.max())} >= base {base}: exact span encoding "
+                "would collide; raise base or use the hashed dedup family"
+            )
+        L = np.diff(offs)
+        ndoc = len(L)
+        doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), L)
+        if len(t) < gram:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "n_occurrences": pa.array([], pa.int64())}
+            )
+        # all positions whose full gram stays inside one doc
+        ok = doc_idx[: len(t) - gram + 1] == doc_idx[gram - 1 :]
+        codes = np.zeros(int(ok.sum()), dtype=np.int64)
+        d = doc_idx[: len(t) - gram + 1][ok]
+        for k in range(gram):
+            codes += t[k : len(t) - gram + 1 + k][ok] * pows[k]
+        # batch-local (doc, gram) distinct -> df partial; occurrences -> tf
+        order = np.lexsort((codes, d))
+        cs, dsrt = codes[order], d[order]
+        new = np.append(True, (cs[1:] != cs[:-1]) | (dsrt[1:] != dsrt[:-1]))
+        pc_, = (cs[new],)
+        order2 = np.argsort(pc_, kind="stable")
+        pcs = pc_[order2]
+        chg = np.append(True, pcs[1:] != pcs[:-1])
+        rs = np.flatnonzero(chg)
+        n_docs_part = np.diff(np.append(rs, len(pcs)))
+        order3 = np.argsort(codes, kind="stable")
+        all_s = codes[order3]
+        chg3 = np.append(True, all_s[1:] != all_s[:-1])
+        rs3 = np.flatnonzero(chg3)
+        n_occ_part = np.diff(np.append(rs3, len(all_s)))
+        # the two unique-gram sequences coincide (sorted asc, same set)
+        assert len(rs3) == len(rs)
+        return pa.table(
+            {"gram": pa.array(pcs[rs]),
+             "n_docs": pa.array(n_docs_part.astype(np.int64)),
+             "n_occurrences": pa.array(n_occ_part.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_occurrences", alias_name="n_occurrences"))
+        .filter(expr="n_docs >= 2")
+    )
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__negocc", pa.array(-batch["n_occurrences"].to_numpy(zero_copy_only=False))
+        )
+
+    pruned = totals.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
+    out = _topk.top_k(pruned, "n_docs", top, tiebreak=["__negocc", "gram"])
+    # rank the tiny k-row result driver-side (spans blocks)
+    df = out.to_pandas().drop(columns=["__negocc"])
+    df = df.sort_values(
+        ["n_docs", "n_occurrences", "gram"], ascending=[False, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df

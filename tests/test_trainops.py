@@ -563,3 +563,51 @@ def test_wav_decode_stage_feeds_window_engine(ray_session, docs_ds):
         want = (a * np.arange(n, dtype=np.int64) + b) % 65536
         assert row.n_tok == n and row.sample_rate == 8000
         assert np.array_equal(np.asarray(row.tokens, dtype=np.int64), want)
+
+
+def test_dup_span_grams_loop_oracle(ray_session):
+    """Crafted corpus: a 6-word span shared by three docs outranks a
+    span shared by two; per-doc repeats raise n_occurrences, not n_docs."""
+    from podcast_audio_feature_extraction_ray.stages.dedup import dup_span_grams
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    pair = "one two three four five six"
+    docs = [
+        f"{shared} filler0 nope0",
+        f"pre0 {shared} post0",
+        f"{shared} {shared}",            # 2 occurrences, 1 doc
+        f"{pair} tail0",
+        f"head0 {pair}",
+        "unique words only here nothing repeats across docs",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [f"d{i}" for i in range(len(docs))], "text": docs})
+    )
+    got = dup_span_grams(ds, gram=6, base=1024, top=10)
+
+    def code(words):
+        toks = [len(w) * 31 + ord(w[0]) for w in words]
+        c = 0
+        for t in toks:
+            c = c * 1024 + t
+        return c
+
+    c_shared = code(shared.split())
+    c_pair = code(pair.split())
+    top = got.iloc[0]
+    assert (top["gram"], top["n_docs"], top["n_occurrences"], top["rank"]) == (
+        c_shared, 3, 4, 1,
+    )
+    row_pair = got[got.gram == c_pair].iloc[0]
+    assert (row_pair.n_docs, row_pair.n_occurrences) == (2, 2)
+    # d2's doubled span counts docs once
+    assert (got.n_docs <= 3).all()
+
+    # open-vocabulary guard: token >= base raises, never silently collides
+    import pytest as _pytest
+
+    wide = rd.from_arrow(
+        pa.table({"doc_id": ["w"], "text": [" ".join(["x" * 40] * 8)]})
+    )
+    with _pytest.raises(Exception):
+        dup_span_grams(wide, gram=6, base=1024, top=5)
