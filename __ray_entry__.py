@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q.tfidf_top_terms,
         "audio_frame_energy": q.audio_frame_energy,
         "dup_span_grams_q": q.dup_span_grams_q,
+        "grouped_topk_docs": q.grouped_topk_docs,
     }
 
 

@@ -1333,3 +1333,16 @@ def dup_span_grams_q(sf_dir: str):
     from podcast_audio_feature_extraction_ray.stages.dedup import dup_span_grams
 
     return dup_span_grams(_docs(sf_dir), gram=6, base=1024, top=100)
+
+
+def grouped_topk_docs(sf_dir: str, k: int = 3):
+    """Per-group quota selection: the k longest docs per source
+    (n_chars desc, doc_id asc) with a dense per-group rank — T1's
+    ranking partitioned by key; per-batch per-key prune bounds the
+    shuffle to k x n_keys x n_batches rows."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return topk.grouped_top_k(
+        docs, key_cols=["source"], score_col="n_chars", k=k, tiebreak=["doc_id"]
+    )

@@ -885,3 +885,13 @@ rk AS (
 SELECT gram, n_docs, n_occurrences, cast(r AS bigint) AS rank
 FROM rk WHERE r <= 100
 """
+
+SQL["grouped_topk_docs"] = """
+WITH rk AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents
+)
+SELECT doc_id, source, n_chars, cast(r AS bigint) AS rank
+FROM rk WHERE r <= 3
+"""

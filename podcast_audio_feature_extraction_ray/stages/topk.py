@@ -118,3 +118,65 @@ def stride_sample(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def grouped_top_k(ds, key_cols: list[str], score_col: str, k: int,
+                  tiebreak: list[str] | None = None):
+    """Per-GROUP top-k (T1's global ranking, partitioned): the top ``k``
+    rows by ``score_col`` desc (+ ``tiebreak`` asc) within each
+    ``key_cols`` group, with a dense 1-based ``rank`` column.
+
+    Scale shape: every batch is pruned to <= k rows PER KEY PRESENT
+    (vectorized lexsort + segmented rank, no per-key Python loop)
+    before the one hash shuffle, so the exchange carries at most
+    ``k x n_keys x n_batches`` rows — quota selection ("best k docs per
+    source") over an arbitrarily large corpus. Final per-group rank via
+    ``groupby().map_groups`` on the pruned residue.
+    """
+    tb = list(tiebreak or [])
+
+    def _rank_within(batch: pa.Table) -> np.ndarray:
+        # vectorized rank-within-key: lexsort by (keys asc, score desc,
+        # tiebreak asc), then position minus segment start
+        cols = []
+        for c in reversed(tb):
+            cols.append(batch[c].to_numpy(zero_copy_only=False))
+        score = batch[score_col].to_numpy(zero_copy_only=False)
+        cols.append(-score if score.dtype.kind in "if" else np.negative(score.astype(np.int64)))
+        keys = [batch[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        # string keys: factorize for lexsort (grouping only needs
+        # contiguity of equal keys, not a global key order)
+        keys = [
+            np.unique(kk, return_inverse=True)[1] if kk.dtype == object else kk
+            for kk in keys
+        ]
+        for kk in keys:
+            cols.append(kk)
+        order = np.lexsort(tuple(cols))
+        kcols = [kk[order] for kk in keys]
+        chg = np.zeros(len(order), dtype=bool)
+        if len(order):
+            chg[0] = True
+            for kk in kcols:
+                chg[1:] |= kk[1:] != kk[:-1]
+        seg_id = np.cumsum(chg) - 1
+        seg_start = np.flatnonzero(chg)
+        pos = np.arange(len(order)) - seg_start[seg_id]
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = pos + 1
+        return rank
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        rank = _rank_within(batch)
+        return batch.filter(pa.array(rank <= k))
+
+    def final(group: pa.Table) -> pa.Table:
+        rank = _rank_within(group)
+        keep = rank <= k
+        out = group.filter(pa.array(keep))
+        return out.append_column("rank", pa.array(rank[keep]))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.groupby(key_cols).map_groups(final, batch_format="pyarrow")

@@ -611,3 +611,36 @@ def test_dup_span_grams_loop_oracle(ray_session):
     )
     with _pytest.raises(Exception):
         dup_span_grams(wide, gram=6, base=1024, top=5)
+
+
+def test_grouped_top_k_prune_is_lossless(ray_session):
+    """Per-batch prune must never drop a global per-group winner: rows
+    for one group scattered across many batches still rank correctly."""
+    from podcast_audio_feature_extraction_ray.stages.topk import grouped_top_k
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    tbl = pa.table(
+        {
+            "g": pa.array([f"g{i % 7}" for i in range(n)]),
+            "score": pa.array(rng.integers(0, 1000, n, dtype=np.int64)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(20)  # scatter groups across blocks
+    got = (
+        grouped_top_k(ds, ["g"], "score", 5, tiebreak=["id"])
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    df = df.sort_values(["g", "score", "id"], ascending=[True, False, True])
+    want = df.groupby("g").head(5).reset_index(drop=True)
+    want["rank"] = want.groupby("g").cumcount() + 1
+    assert len(got) == len(want) == 35
+    pdt = got[["g", "score", "id", "rank"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        pdt, want[["g", "score", "id", "rank"]].reset_index(drop=True),
+        check_dtype=False,
+    )
