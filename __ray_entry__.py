@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frame_energy": q.audio_frame_energy,
         "dup_span_grams_q": q.dup_span_grams_q,
         "grouped_topk_docs": q.grouped_topk_docs,
+        "quantiles_by_source": q.quantiles_by_source,
     }
 
 

@@ -1346,3 +1346,53 @@ def grouped_topk_docs(sf_dir: str, k: int = 3):
     return topk.grouped_top_k(
         docs, key_cols=["source"], score_col="n_chars", k=k, tiebreak=["doc_id"]
     )
+
+
+def quantiles_by_source(sf_dir: str):
+    """EXACT distributed quantiles (p25/p50/p75/p99 of doc length per
+    source) over a bounded value domain: per-batch (source, value)
+    histogram partials -> ONE small groupby -> driver-side cumulative
+    walk over the tiny (sources x distinct-values) table. The shuffle
+    moves counts, never rows — the sketch-free exact path that works
+    whenever the domain is bounded (lengths, scores, categorical codes);
+    open domains would swap the histogram for a t-digest. Quantile
+    definition shared with the oracle: smallest v with
+    cum_count >= ceil(pct * total / 100.0)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, sc = np.unique(src, return_inverse=True)
+        order = np.lexsort((v, sc))
+        vs, ss = v[order], sc[order]
+        chg = np.append(True, (vs[1:] != vs[:-1]) | (ss[1:] != ss[:-1])) if len(order) else np.zeros(0, bool)
+        rs = np.flatnonzero(chg)
+        cnt = np.diff(np.append(rs, len(order)))
+        return pa.table(
+            {
+                "source": pa.array(su[ss[rs]], pa.string()),
+                "v": pa.array(vs[rs]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    pdf = totals.to_pandas().sort_values(["source", "v"], kind="mergesort")
+    out_rows = []
+    for src, g in pdf.groupby("source", sort=True):
+        cum = g["cnt"].to_numpy().cumsum()
+        tot = int(cum[-1])
+        vals = g["v"].to_numpy()
+        for pct in (25, 50, 75, 99):
+            thr = np.ceil(pct * tot / 100.0)
+            out_rows.append((src, pct, int(vals[np.searchsorted(cum, thr)])))
+    return pd.DataFrame(out_rows, columns=["source", "pct", "value"]).astype(
+        {"pct": np.int64, "value": np.int64}
+    )

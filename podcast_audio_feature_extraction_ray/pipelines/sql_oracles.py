@@ -895,3 +895,21 @@ WITH rk AS (
 SELECT doc_id, source, n_chars, cast(r AS bigint) AS rank
 FROM rk WHERE r <= 3
 """
+
+SQL["quantiles_by_source"] = """
+WITH c AS (
+  SELECT source, cast(n_chars AS bigint) AS v, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+w AS (
+  SELECT source, v,
+         sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS tot
+  FROM c
+),
+p AS (SELECT unnest([25, 50, 75, 99]) AS pct)
+SELECT w.source, cast(p.pct AS bigint) AS pct, cast(min(w.v) AS bigint) AS value
+FROM w CROSS JOIN p
+WHERE cast(w.cum AS double) >= ceil(p.pct * cast(w.tot AS double) / 100.0)
+GROUP BY 1, 2
+"""

@@ -644,3 +644,30 @@ def test_grouped_top_k_prune_is_lossless(ray_session):
         pdt, want[["g", "score", "id", "rank"]].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_quantiles_by_source_edge_cases(ray_session, tmp_path):
+    """Exact-quantile definition on crafted groups: single-value group,
+    two-value ties, and p99 hitting the max element."""
+    import pyarrow.parquet as pq
+
+    from podcast_audio_feature_extraction_ray.pipelines import queries as q
+
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(7, dtype=np.int64),
+            "text": ["x"] * 7,
+            "source": ["a", "a", "a", "a", "b", "b", "c"],
+            "lang": ["en"] * 7,
+            "n_chars": pa.array([1, 2, 3, 100, 5, 5, 9], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = q.quantiles_by_source(str(tmp_path)).set_index(["source", "pct"])["value"]
+    # a: n=4 -> thr(25)=1 -> v=1; thr(50)=2 -> v=2; thr(75)=3 -> v=3; thr(99)=4 -> v=100
+    assert got.loc[("a", 25)] == 1 and got.loc[("a", 50)] == 2
+    assert got.loc[("a", 75)] == 3 and got.loc[("a", 99)] == 100
+    # b: both values 5 at every pct
+    assert set(got.loc["b"]) == {5}
+    # c: singleton
+    assert set(got.loc["c"]) == {9}
