@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_grams_q": q.dup_span_grams_q,
         "grouped_topk_docs": q.grouped_topk_docs,
         "quantiles_by_source": q.quantiles_by_source,
+        "mix_sample_q": q.mix_sample_q,
     }
 
 

@@ -1396,3 +1396,20 @@ def quantiles_by_source(sf_dir: str):
     return pd.DataFrame(out_rows, columns=["source", "pct", "value"]).astype(
         {"pct": np.int64, "value": np.int64}
     )
+
+
+def mix_sample_q(sf_dir: str):
+    """Data-mixture sampling: keep all of src0, 16/256 of src1, 64/256
+    of everything else — hash-deterministic, so the surviving set is
+    identical across runs/cluster sizes."""
+    from podcast_audio_feature_extraction_ray.stages.text import mix_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    kept = mix_sample(docs, rates={"src0": 1.0, "src1": 16 / 256}, default_rate=64 / 256)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.string()), "source": batch["source"]}
+        )
+
+    return kept.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)

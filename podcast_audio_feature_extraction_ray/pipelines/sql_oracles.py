@@ -913,3 +913,13 @@ FROM w CROSS JOIN p
 WHERE cast(w.cum AS double) >= ceil(p.pct * cast(w.tot AS double) / 100.0)
 GROUP BY 1, 2
 """
+
+SQL["mix_sample_q"] = """
+SELECT cast(doc_id AS varchar) AS doc_id, source
+FROM documents
+WHERE CASE source
+  WHEN 'src0' THEN TRUE
+  WHEN 'src1' THEN substr(md5(cast(doc_id AS varchar)), 1, 2) < '10'
+  ELSE substr(md5(cast(doc_id AS varchar)), 1, 2) < '40'
+END
+"""

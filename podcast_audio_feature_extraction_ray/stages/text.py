@@ -348,3 +348,35 @@ def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mix_sample(ds, rates: dict[str, float], default_rate: float = 1.0,
+               id_col: str = "doc_id", source_col: str = "source"):
+    """Deterministic data-mixture sampling: keep each doc with a
+    per-source rate (the corpus-mixing step of a training pipeline —
+    upweight curated sources, downsample crawl), decided by a stable
+    content hash of the id so the SAME docs survive on any cluster
+    size, any run, any shard layout (the train_test_split property).
+
+    Rates quantize to k/256 (keep iff md5(id) byte 0 < k) so the DuckDB
+    oracle can replicate the decision as a 2-hex-digit string compare.
+    Stateless zero-shuffle map_batches; md5 is a per-row C digest kept
+    for oracle parity (same trade as ``train_test_split``)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    thr = {s: min(256, int(r * 256)) for s, r in rates.items()}
+    dflt = min(256, int(default_rate * 256))
+    md5 = hashlib.md5
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.string()).to_pylist()
+        b0 = np.fromiter(
+            (md5(s.encode()).digest()[0] for s in ids), np.int64, count=len(ids)
+        )
+        src = batch[source_col].to_numpy(zero_copy_only=False)
+        lim = np.fromiter((thr.get(s, dflt) for s in src), np.int64, count=len(src))
+        return batch.filter(pa.array(b0 < lim))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

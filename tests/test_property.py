@@ -73,3 +73,50 @@ def test_random_geometry_matches_oracle(
         if not lead:
             want = want.drop(columns=["lead_tokens"])
     assert_windows_equal(got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000), n_docs=st.integers(1, 30))
+def test_repetition_signals_property(ray_session, seed, n_docs):
+    """Random tiny-vocab corpora (repetition-heavy by construction):
+    the vectorized run-length kernel must equal a Counter-based loop
+    oracle on every doc, including <3-word drops and all-ties."""
+    from collections import Counter
+
+    from podcast_audio_feature_extraction_ray.stages.text import repetition_signals
+
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(n_docs)
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [f"d{i}" for i in range(n_docs)], "text": docs})
+    )
+    got = repetition_signals(ds).to_pandas()
+    if got.empty:  # every doc dropped (<3 words): Ray gives a no-column df
+        got = pd.DataFrame(columns=["doc_id"])
+    got = got.set_index("doc_id")
+
+    n_expected = 0
+    for i, text in enumerate(docs):
+        words = text.split(" ")
+        toks = [len(w) * 31 + (ord(w[0]) if w else 0) for w in words]
+        if len(toks) < 3:
+            assert f"d{i}" not in got.index
+            continue
+        n_expected += 1
+        row = got.loc[f"d{i}"]
+        bc = Counter(zip(toks, toks[1:]))
+        top_n = max(bc.values())
+        top = min(b for b, c in bc.items() if c == top_n)
+        tc = Counter(zip(toks, toks[1:], toks[2:]))
+        dup = sum(c for c in tc.values() if c > 1)
+        assert row["n_tok"] == len(toks)
+        assert (row["top_bigram_a"], row["top_bigram_b"]) == top
+        assert row["top_bigram_n"] == top_n
+        assert row["top_bigram_frac"] == top_n / (len(toks) - 1)
+        assert row["dup_trigram_n"] == dup
+        assert row["dup_trigram_frac"] == dup / (len(toks) - 2)
+    assert len(got) == n_expected

@@ -671,3 +671,24 @@ def test_quantiles_by_source_edge_cases(ray_session, tmp_path):
     assert set(got.loc["b"]) == {5}
     # c: singleton
     assert set(got.loc["c"]) == {9}
+
+
+def test_mix_sample_deterministic_and_stratified(ray_session, docs_ds, docs_df):
+    """mix_sample keeps the SAME doc set regardless of block layout, and
+    rate 1.0 / 0.0 behave as keep-all / drop-all per source."""
+    from podcast_audio_feature_extraction_ray.stages.text import mix_sample
+
+    rates = {"src0": 1.0, "src1": 0.0}
+    a = set(mix_sample(docs_ds, rates, default_rate=0.25).to_pandas().doc_id)
+    b = set(
+        mix_sample(docs_ds.repartition(13), rates, default_rate=0.25)
+        .to_pandas().doc_id
+    )
+    assert a == b
+    by_src = docs_df.set_index("doc_id").source
+    kept_src = by_src.loc[list(a)]
+    assert set(by_src[by_src == "src0"].index) <= a       # rate 1.0: all kept
+    assert not (kept_src == "src1").any()                 # rate 0.0: none kept
+    n_other = (~by_src.isin(["src0", "src1"])).sum()
+    n_other_kept = (~kept_src.isin(["src0", "src1"])).sum()
+    assert 0 < n_other_kept < n_other                     # ~25% of the rest
