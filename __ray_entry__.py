@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_docs": q.grouped_topk_docs,
         "quantiles_by_source": q.quantiles_by_source,
         "mix_sample_q": q.mix_sample_q,
+        "s13_csv_roundtrip": q.s13_csv_roundtrip,
+        "unigram_nll_scores": q.unigram_nll_scores,  # rows-only (ln not cross-libm exact)
     }
 
 

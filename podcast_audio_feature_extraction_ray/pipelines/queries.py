@@ -1413,3 +1413,127 @@ def mix_sample_q(sf_dir: str):
         )
 
     return kept.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def s13_csv_roundtrip(sf_dir: str):
+    """CSV source-format coverage (sibling of the S11 JSON sink): write a
+    projection as CSV shards, read it back with ``read_csv``, return the
+    rows — the format path is under test; values oracle-compare to the
+    source table. Text goes through quoting/escaping, so the doc text
+    column itself rides the roundtrip."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="tokwin_s13_")
+    try:
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        )
+        docs.write_csv(out_dir)
+        back = rd.read_csv(out_dir)
+
+        def shape(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "text": batch["text"].cast(pa.string()),
+                    "n_chars": batch["n_chars"].cast(pa.int64()),
+                }
+            )
+
+        return back.map_batches(shape, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_NLL_SCALE = 2 ** 28  # logprob quantization grid (exact int64 doc sums)
+
+
+def unigram_nll_scores(sf_dir: str, k_smooth: int = 1):
+    """Unigram language-model quality scoring (the perplexity-filter
+    shape): corpus token frequencies -> per-token add-one-smoothed
+    logprob table (built ONCE on the tiny vocab aggregate, broadcast) ->
+    per-doc mean negative log-likelihood in one stateless pass.
+    Rows-only: ``ln`` is not correctly-rounded across libms, so the
+    oracle is the pytest loop implementation, and the driver records
+    the rows-only check. The scale shape is the vocab_topk partial
+    (counts ride the shuffle) + a j2-style broadcast lookup."""
+    import math
+
+    import ray
+
+    from podcast_audio_feature_extraction_ray.arrow_utils import list_buffers
+
+    toks = _tokens(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, _ = list_buffers(batch["tokens"])
+        if len(values) == 0:
+            return pa.table(
+                {"token": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        counts = np.bincount(values.astype(np.int64))
+        nz = np.flatnonzero(counts)
+        return pa.table({"token": pa.array(nz), "n": pa.array(counts[nz])})
+
+    from ray.data.aggregate import Sum
+
+    vocab = (
+        toks.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: |vocab| rows (the documented vocab_topk bound)
+    )
+    total = int(vocab["n"].sum())
+    V = len(vocab)
+    denom = total + k_smooth * (V + 1)  # +1: one shared OOV bucket
+    sorted_tok = np.sort(vocab["token"].to_numpy())
+    order = np.argsort(vocab["token"].to_numpy())
+    # libm log on the small table once, QUANTIZED to 2^-28 units: per-doc
+    # sums are then exact int64 — order-independent, layout-invariant,
+    # and reproducible by any oracle (the repo's exact-integer-until-one-
+    # final-double-op idiom). Safe for docs up to ~1M tokens
+    # (|logp| < 64 => |sum_q| < 2^52, one exact int->double conversion).
+    logp_q = np.array(
+        [
+            round(math.log((int(n) + k_smooth) / denom) * _NLL_SCALE)
+            for n in vocab["n"].to_numpy()[order]
+        ],
+        dtype=np.int64,
+    )
+    oov_q = round(math.log(k_smooth / denom) * _NLL_SCALE)
+    ref = ray.put((sorted_tok, logp_q, oov_q))
+
+    def score(batch: pa.Table) -> pa.Table:
+        st, lpq, oq = ray.get(ref)
+        values, offs = list_buffers(batch["tokens"])
+        v = values.astype(np.int64)
+        pos = np.searchsorted(st, v)
+        pos_c = np.minimum(pos, len(st) - 1)
+        hit = (len(st) > 0) & (st[pos_c] == v)
+        tok_q = np.where(hit, lpq[pos_c], oq)
+        # per-doc EXACT int64 segment sum: any reduction order gives the
+        # same integer (reduceat quirk: an empty segment returns the
+        # element at its start index, and a trailing empty segment's
+        # index would be out of bounds — clip and zero them)
+        n = np.diff(offs)
+        keep = n > 0
+        starts = np.minimum(offs[:-1], max(len(tok_q) - 1, 0))
+        doc_q = (
+            np.add.reduceat(tok_q, starts)
+            if len(tok_q)
+            else np.zeros(len(n), np.int64)
+        )
+        doc_q = np.where(keep, doc_q, 0)
+        nll = -(doc_q / _NLL_SCALE)  # ONE exact int->double op per doc
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.string()),
+                "n_tok": pa.array(n.astype(np.int64)),
+                "nll_sum": pa.array(nll),
+                "mean_nll": pa.array(np.where(keep, nll / np.maximum(n, 1), 0.0)),
+            }
+        )
+
+    return toks.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

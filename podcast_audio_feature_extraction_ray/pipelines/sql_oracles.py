@@ -923,3 +923,8 @@ WHERE CASE source
   ELSE substr(md5(cast(doc_id AS varchar)), 1, 2) < '40'
 END
 """
+
+SQL["s13_csv_roundtrip"] = """
+SELECT cast(doc_id AS bigint) AS doc_id, text, cast(n_chars AS bigint) AS n_chars
+FROM documents
+"""

@@ -692,3 +692,43 @@ def test_mix_sample_deterministic_and_stratified(ray_session, docs_ds, docs_df):
     n_other = (~by_src.isin(["src0", "src1"])).sum()
     n_other_kept = (~kept_src.isin(["src0", "src1"])).sum()
     assert 0 < n_other_kept < n_other                     # ~25% of the rest
+
+
+def test_unigram_nll_loop_oracle(ray_session):
+    """Rows-only op gets a full-value loop oracle: smoothed unigram
+    logprobs and per-doc sequential accumulation, exactly."""
+    import math
+
+    from podcast_audio_feature_extraction_ray.pipelines import queries as q
+
+    got = q.unigram_nll_scores(SF).to_pandas().set_index("doc_id")
+    # independent loop implementation from the raw docs
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    from collections import Counter
+
+    tok_of = {}
+    counts = Counter()
+    for _, r in df.iterrows():
+        toks = [len(w) * 31 + (ord(w[0]) if w else 0) for w in r.text.split(" ")]
+        tok_of[str(r.doc_id)] = toks
+        counts.update(toks)
+    total = sum(counts.values())
+    V = len(counts)
+    denom = total + (V + 1)
+    from podcast_audio_feature_extraction_ray.pipelines.queries import _NLL_SCALE
+
+    lp = {t: round(math.log((n + 1) / denom) * _NLL_SCALE) for t, n in counts.items()}
+    assert len(got) == len(df)
+    for did, toks in tok_of.items():
+        # quantized logprobs sum EXACTLY in integers — any order
+        s = -(sum(lp[t] for t in toks) / _NLL_SCALE)
+        row = got.loc[did]
+        assert row["n_tok"] == len(toks)
+        assert row["nll_sum"] == s
+        assert row["mean_nll"] == s / len(toks)
+
+    # layout invariance: identical floats under a different block layout
+    a = q.unigram_nll_scores(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(a["nll_sum"].to_numpy(), got.reset_index().sort_values("doc_id")["nll_sum"].to_numpy())
