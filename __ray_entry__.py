@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sample_q": q.mix_sample_q,
         "s13_csv_roundtrip": q.s13_csv_roundtrip,
         "unigram_nll_scores": q.unigram_nll_scores,  # rows-only (ln not cross-libm exact)
+        "hll_distinct_tokens": q.hll_distinct_tokens,  # rows-only (sketch)
     }
 
 

@@ -1537,3 +1537,23 @@ def unigram_nll_scores(sf_dir: str, k_smooth: int = 1):
         )
 
     return toks.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hll_distinct_tokens(sf_dir: str):
+    """Approximate distinct token count per source via HyperLogLog
+    (m=256 registers) — the open-domain sibling of ``distinct_values``:
+    partials are a fixed 256-int register set per key per batch, so the
+    shuffle cost is independent of corpus size. Rows-only (a sketch has
+    no SQL equal); accuracy + layout-invariance are pytest-checked
+    against the exact count."""
+    from podcast_audio_feature_extraction_ray.arrow_utils import list_buffers
+    from podcast_audio_feature_extraction_ray.stages.sketch import hll_distinct
+
+    toks = _tokens(sf_dir)
+
+    def values(batch: pa.Table):
+        vals, offs = list_buffers(batch["tokens"])
+        row_idx = np.repeat(np.arange(batch.num_rows), np.diff(offs))
+        return vals.astype(np.int64), row_idx
+
+    return hll_distinct(toks, values, key_col="source", p=8)

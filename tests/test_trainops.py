@@ -732,3 +732,39 @@ def test_unigram_nll_loop_oracle(ray_session):
     # layout invariance: identical floats under a different block layout
     a = q.unigram_nll_scores(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert np.array_equal(a["nll_sum"].to_numpy(), got.reset_index().sort_values("doc_id")["nll_sum"].to_numpy())
+
+
+def test_hll_distinct_accuracy_and_invariance(ray_session):
+    """HLL per-key estimates: within the sketch's error envelope of the
+    exact count, identical under a different block layout, and the
+    register merge is genuinely associative (split input == one input)."""
+    from podcast_audio_feature_extraction_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(17)
+    n = 40_000
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # very different true cardinalities per key
+    vals = np.where(
+        keys == "a", rng.integers(0, 40_000, n),
+        np.where(keys == "b", rng.integers(0, 500, n), rng.integers(0, 23, n)),
+    ).astype(np.int64)
+    tbl = pa.table({"source": keys, "v": vals})
+
+    def value_fn(batch):
+        return (
+            batch["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.arange(batch.num_rows),
+        )
+
+    got = hll_distinct(rd.from_arrow(tbl), value_fn).set_index("source")
+    import pandas as pd
+
+    exact = pd.DataFrame({"source": keys, "v": vals}).groupby("source")["v"].nunique()
+    for k in ("a", "b", "c"):
+        rel = abs(got.loc[k, "est_distinct"] - exact[k]) / exact[k]
+        assert rel < 0.2, (k, got.loc[k, "est_distinct"], exact[k])
+    # layout invariance: 40 blocks give the bit-identical estimates
+    got2 = hll_distinct(rd.from_arrow(tbl).repartition(40), value_fn).set_index("source")
+    assert np.array_equal(
+        got["est_distinct"].to_numpy(), got2["est_distinct"].to_numpy()
+    )
