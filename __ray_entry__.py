@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s13_csv_roundtrip": q.s13_csv_roundtrip,
         "unigram_nll_scores": q.unigram_nll_scores,  # rows-only (ln not cross-libm exact)
         "hll_distinct_tokens": q.hll_distinct_tokens,  # rows-only (sketch)
+        "semdedup_q": q.semdedup_q,  # rows-only (k-means + chained drop)
     }
 
 

@@ -1557,3 +1557,17 @@ def hll_distinct_tokens(sf_dir: str):
         return vals.astype(np.int64), row_idx
 
     return hll_distinct(toks, values, key_col="source", p=8)
+
+
+def semdedup_q(sf_dir: str):
+    """Semantic dedup over the embeddings table (SemDeDup, Abbas et al.
+    2023): k-means clusters -> drop items with a >= 0.9 rounded cosine
+    to a lower-id cluster member. Rows-only (k-means + chained drop
+    aren't SQL-expressible); exactness vs a loop oracle and layout
+    invariance are pytest-checked."""
+    from podcast_audio_feature_extraction_ray.stages.ann import semdedup
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(emb, threshold=0.9)

@@ -383,3 +383,90 @@ def neardup_toppairs(
         )
 
     return ds.groupby(label_col).map_groups(per_label, batch_format="pyarrow")
+
+
+def semdedup(
+    ds,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_centroids: int = 16,
+    kmeans_iters: int = 8,
+    sample_n: int = 2048,
+    seed: int = 7,
+    pair_chunk: int = 1024,
+    round_to: int = 6,
+):
+    """Semantic deduplication (Abbas et al. 2023 "SemDeDup"): cluster
+    embeddings with a bounded-sample cosine k-means (the ``ivf_topk``
+    coarse quantizer, trained ONCE driver-side, broadcast), then within
+    each cluster drop every item whose cosine to any LOWER-id cluster
+    member reaches ``threshold`` — one representative (the smallest id)
+    survives per near-duplicate chain head. Deterministic on any layout.
+
+    Scale shape: assignment is one matmul per batch (stateless,
+    zero-shuffle); the ONE groupby moves each vector once, keyed by
+    cluster; the in-cluster pass is chunked lower-triangular matmul
+    (memory ``pair_chunk x cluster``, never cluster²). Partitioning
+    assumption (documented, same as ``neardup_toppairs``): one
+    cluster's vectors fit in one group task — size clusters via
+    ``n_centroids`` ~ corpus/expected_cluster_size.
+    """
+    import ray
+
+    # --- train the coarse quantizer on a bounded sample (ivf_topk shape)
+    sample = ds.limit(sample_n).select_columns([col]).to_pandas()
+    S = np.stack([np.asarray(x, dtype=np.float64) for x in sample[col]])
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(Sn), size=min(n_centroids, len(Sn)), replace=False)
+    C = Sn[np.sort(init)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(Sn @ C.T, axis=1)
+        for ci in range(len(C)):
+            m = assign == ci
+            if m.any():
+                v = Sn[m].mean(axis=0)
+                C[ci] = v / max(np.linalg.norm(v), 1e-12)
+    c_ref = ray.put(C)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        Cb = ray.get(c_ref)
+        E = _emb_matrix(batch, col)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        cl = np.argmax(En @ Cb.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                col: batch[col],
+                "cluster": pa.array(cl),
+            }
+        )
+
+    def in_cluster(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(id_col, "ascending")])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        E = _emb_matrix(g, col)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        mx = np.full(n, -np.inf)  # no lower-id peer -> -1.0 sentinel below
+        for s in range(1, n, pair_chunk):
+            e = min(s + pair_chunk, n)
+            # rows s:e vs ALL lower-id rows 0:e, lower-triangular mask
+            sims = En[s:e] @ En[:e].T
+            tri = np.arange(s, e)[:, None] > np.arange(e)[None, :]
+            sims = np.where(tri, sims, -np.inf)
+            mx[s:e] = sims.max(axis=1)
+        mx = np.round(mx, round_to)  # verifiable rounded cosine
+        keep = mx < threshold
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "cluster": g["cluster"].slice(0, n),
+                "max_prev_cos": pa.array(np.where(np.isfinite(mx), mx, -1.0)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    assigned = ds.map_batches(assign_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return assigned.groupby("cluster").map_groups(in_cluster, batch_format="pyarrow")

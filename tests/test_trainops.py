@@ -768,3 +768,44 @@ def test_hll_distinct_accuracy_and_invariance(ray_session):
     assert np.array_equal(
         got["est_distinct"].to_numpy(), got2["est_distinct"].to_numpy()
     )
+
+
+def test_semdedup_loop_oracle_and_invariance(ray_session):
+    """semdedup: planted near-dup directions are dropped (smallest id
+    survives), everything else kept; identical output on a different
+    block layout; per-row max_prev_cos equals a loop oracle within the
+    same rounding."""
+    from podcast_audio_feature_extraction_ray.stages.ann import semdedup
+
+    rng = np.random.default_rng(23)
+    n, d = 600, 12
+    E = rng.normal(size=(n, d))
+    E[100] = E[40] * 3.0        # same direction as 40 -> cosine 1.0
+    E[200] = E[40] * 0.7
+    E[300] = E[250] * 1.1
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                pa.array(E.reshape(-1), type=pa.float64()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    got = semdedup(ds, threshold=0.999999).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == n
+    dropped = set(got[~got.keep].vec_id)
+    assert {100, 200, 300} <= dropped
+    assert 40 not in dropped and 250 not in dropped
+
+    # loop oracle for max_prev_cos within the engine's own clusters
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cl = got.set_index("vec_id").cluster
+    for _, r in got[got.vec_id.isin([100, 200, 300, 40, 0])].iterrows():
+        peers = [j for j in range(int(r.vec_id)) if cl[j] == r.cluster]
+        want = round(max((float(En[int(r.vec_id)] @ En[j]) for j in peers), default=-1.0), 6)
+        assert r.max_prev_cos == want
+
+    got2 = semdedup(ds.repartition(17), threshold=0.999999).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)
