@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll_scores": q.unigram_nll_scores,  # rows-only (ln not cross-libm exact)
         "hll_distinct_tokens": q.hll_distinct_tokens,  # rows-only (sketch)
         "semdedup_q": q.semdedup_q,  # rows-only (k-means + chained drop)
+        "ordered_export": q.ordered_export,
     }
 
 

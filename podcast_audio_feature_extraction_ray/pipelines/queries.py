@@ -1571,3 +1571,18 @@ def semdedup_q(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return semdedup(emb, threshold=0.9)
+
+
+def ordered_export(sf_dir: str):
+    """Reproducible training-order export: global sort by
+    (n_chars desc, doc_id asc) with a contiguous 0-based global sequence
+    number attached — identical on any cluster size / block layout."""
+    from podcast_audio_feature_extraction_ray.stages.topk import global_order_index
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    out = global_order_index(
+        docs, [("n_chars", "descending"), ("doc_id", "ascending")]
+    )
+    return out.select_columns(["doc_id", "n_chars", "seq"])

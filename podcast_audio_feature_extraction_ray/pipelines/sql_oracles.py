@@ -928,3 +928,9 @@ SQL["s13_csv_roundtrip"] = """
 SELECT cast(doc_id AS bigint) AS doc_id, text, cast(n_chars AS bigint) AS n_chars
 FROM documents
 """
+
+SQL["ordered_export"] = """
+SELECT doc_id, cast(n_chars AS int) AS n_chars,
+       cast(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS bigint) AS seq
+FROM documents
+"""

@@ -180,3 +180,42 @@ def grouped_top_k(ds, key_cols: list[str], score_col: str, k: int,
 
     pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
     return pruned.groupby(key_cols).map_groups(final, batch_format="pyarrow")
+
+
+def global_order_index(ds, sort_keys: list[tuple], seq_col: str = "seq"):
+    """Deterministic GLOBAL row index after a distributed sort (the
+    zipWithIndex / ordered-export op a reproducible training run needs:
+    every row gets the same sequence number on any cluster size).
+
+    Shape: ``ds.sort`` (the one range exchange) -> materialize -> the
+    sorted blocks' row counts come back as metadata-sized ray tasks ->
+    driver prefix-sums the tiny count list -> one stateless task per
+    block attaches ``offset + arange``. No data leaves the object store
+    a second time; the driver holds one int per block.
+    """
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort(
+        [k for k, _ in sort_keys],
+        descending=[d == "descending" for _, d in sort_keys],
+    ).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+
+    @ray.remote
+    def _attach(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            seq_col, pa.array(off + np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    out_refs = [
+        _attach.remote(r, int(offsets[i])) for i, r in enumerate(refs)
+    ]
+    return rd.from_arrow_refs(out_refs)

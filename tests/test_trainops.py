@@ -809,3 +809,31 @@ def test_semdedup_loop_oracle_and_invariance(ray_session):
 
     got2 = semdedup(ds.repartition(17), threshold=0.999999).to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_global_order_index_layout_invariant(ray_session):
+    """zipWithIndex-after-sort: contiguous 0-based seq, identical on any
+    input block layout, ties broken by the full sort key."""
+    from podcast_audio_feature_extraction_ray.stages.topk import global_order_index
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "score": pa.array(rng.integers(0, 50, n, dtype=np.int64)),  # heavy ties
+        }
+    )
+    keys = [("score", "descending"), ("id", "ascending")]
+    a = (
+        global_order_index(rd.from_arrow(tbl), keys)
+        .to_pandas().sort_values("seq").reset_index(drop=True)
+    )
+    b = (
+        global_order_index(rd.from_arrow(tbl).repartition(23), keys)
+        .to_pandas().sort_values("seq").reset_index(drop=True)
+    )
+    assert np.array_equal(a["seq"].to_numpy(), np.arange(n))
+    pd.testing.assert_frame_equal(a, b)
+    df = tbl.to_pandas().sort_values(["score", "id"], ascending=[False, True])
+    assert np.array_equal(a["id"].to_numpy(), df["id"].to_numpy())
