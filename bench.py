@@ -271,6 +271,50 @@ def run_bench() -> dict:
         counts["minhash_pairs"] = pairs.count()
         timings["minhash"] = time.time() - t0
 
+    # --- textops: Gopher repetition signals over a bench-sized synthetic
+    # doc corpus (200k docs / ~24M words): tokenization + bigram/trigram
+    # run-length counting, stateless zero-shuffle — the docs-pipeline
+    # quality-filter throughput number (not in the headline sum)
+    from podcast_audio_feature_extraction_ray.stages import text as txt
+
+    import numpy as np
+    import pyarrow as pa
+
+    docs_big = os.path.join(CACHE, "docs_200k_seed11_d8")
+    if not os.path.exists(docs_big):
+        rng = np.random.default_rng(11)
+        vocab = np.array([f"w{i}" for i in range(2000)], dtype=object)
+        tmp = docs_big + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        per = 25_000
+        for f in range(8):
+            lens = rng.integers(60, 181, per)
+            ids = rng.integers(0, len(vocab), int(lens.sum()))
+            words = vocab[ids]
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(per)]
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            np.arange(f * per, (f + 1) * per, dtype=np.int64)
+                        ),
+                        "text": pa.array(texts, pa.string()),
+                    }
+                ),
+                os.path.join(tmp, f"part-{f:02d}.parquet"),
+                row_group_size=4096,
+            )
+        os.replace(tmp, docs_big)
+    t0 = time.time()
+    rep = txt.repetition_signals(
+        rd.read_parquet(docs_big, columns=["doc_id", "text"])
+    )
+    counts["textops_docs"] = rep.count()
+    timings["textops"] = time.time() - t0
+
     # --- resumable: checkpointed partitioned sink (manifest lineage) +
     # a resume pass that must find zero pending partitions
     from podcast_audio_feature_extraction_ray.state import manifest as mf
