@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_tokens": q.hll_distinct_tokens,  # rows-only (sketch)
         "semdedup_q": q.semdedup_q,  # rows-only (k-means + chained drop)
         "ordered_export": q.ordered_export,
+        "curation_pipeline": q.curation_pipeline,
     }
 
 

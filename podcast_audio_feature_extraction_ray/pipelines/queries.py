@@ -1586,3 +1586,63 @@ def ordered_export(sf_dir: str):
         docs, [("n_chars", "descending"), ("doc_id", "ascending")]
     )
     return out.select_columns(["doc_id", "n_chars", "seq"])
+
+
+def curation_pipeline(sf_dir: str):
+    """The composed curation chain a training-data run actually executes
+    — quality gate (C4 rule) → data-mixture sample → exact dedup — as
+    ONE pass over documents plus ONE tiny groupby, end-to-end
+    SQL-oracle-verified. The quality math is the shared
+    ``text.quality_arrays`` kernel (same formulas as ``lang_quality``),
+    the mixture rule is ``mix_sample``'s md5-byte decision, dedup keeps
+    the smallest surviving doc_id per text hash. Survivor rows carry
+    only (hash, id, source-agnostic counters) into the shuffle — text
+    never leaves the scan stage."""
+    import hashlib
+
+    from podcast_audio_feature_extraction_ray.stages.text import quality_arrays
+
+    md5 = hashlib.md5
+    docs = _docs(sf_dir)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        qa = quality_arrays(batch["text"])
+        n_words, n_stop, sum_len = qa["n_words"], qa["n_stop"], qa["sum_len"]
+        stop_ratio = n_stop / n_words
+        mean_word_len = sum_len / n_words
+        quality = (
+            (stop_ratio > 0.09) & (n_words >= 50)
+            & (mean_word_len >= 3.0) & (mean_word_len <= 12.0)
+        )
+        ids = batch["doc_id"].cast(pa.string()).to_pylist()
+        b0 = np.fromiter(
+            (md5(s.encode()).digest()[0] for s in ids), np.int64, count=len(ids)
+        )
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        lim = np.where(src == "src0", 256, np.where(src == "src1", 16, 64))
+        keep = quality & (b0 < lim)
+        texts = batch["text"].to_pylist()
+        th = [md5(texts[i].encode()).hexdigest() for i in np.flatnonzero(keep)]
+        kept = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "text_hash": pa.array(th, pa.string()),
+                "doc_int": pa.array(
+                    batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)[kept]
+                ),
+                "n_words": pa.array(n_words[kept]),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .aggregate(
+            Min("doc_int", alias_name="keep_doc_id"),
+            Count(alias_name="n_dups"),
+            Min("n_words", alias_name="n_words"),
+        )
+    )
+    return out

@@ -934,3 +934,36 @@ SELECT doc_id, cast(n_chars AS int) AS n_chars,
        cast(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS bigint) AS seq
 FROM documents
 """
+
+SQL["curation_pipeline"] = """
+WITH w AS (
+  SELECT doc_id, source, text, string_split(lower(text), ' ') AS words
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, text,
+         cast(len(words) AS bigint) AS n_words,
+         cast(len(list_filter(words, x -> x IN
+           ('the','a','an','and','or','of','to','in','is','are','was','were',
+            'be','been','it','this','that','for','on','with','as','at','by'))) AS bigint) AS n_stop,
+         cast(list_aggregate(list_transform(words, x -> cast(length(x) AS bigint)), 'sum') AS bigint) AS sum_len
+  FROM w
+),
+gated AS (
+  SELECT doc_id, source, text, n_words
+  FROM q
+  WHERE n_stop / n_words > 0.09 AND n_words >= 50
+    AND sum_len / n_words >= 3.0 AND sum_len / n_words <= 12.0
+    AND CASE source
+          WHEN 'src0' THEN TRUE
+          WHEN 'src1' THEN substr(md5(cast(doc_id AS varchar)), 1, 2) < '10'
+          ELSE substr(md5(cast(doc_id AS varchar)), 1, 2) < '40'
+        END
+)
+SELECT md5(text) AS text_hash,
+       cast(min(cast(doc_id AS bigint)) AS bigint) AS keep_doc_id,
+       cast(count(*) AS bigint) AS n_dups,
+       cast(min(n_words) AS bigint) AS n_words
+FROM gated
+GROUP BY md5(text)
+"""

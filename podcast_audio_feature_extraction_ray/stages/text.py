@@ -22,6 +22,38 @@ MERSENNE61 = (1 << 61) - 1
 TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
+def quality_arrays(txt) -> dict[str, np.ndarray]:
+    """The per-doc quality/language counters (shared kernel: used by
+    ``lang_quality`` and by composed pipelines that must apply the SAME
+    gate without re-deriving the formulas). Returns exact int64 arrays
+    ``n_words, n_stop, n_alpha, sum_len``."""
+    stop_set = pa.array(STOPWORDS, type=pa.string())
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    # null texts -> "": split of a null yields a null list whose
+    # offsets don't advance, which would make reduceat absorb the
+    # next row's first word — fill first, then lens >= 1 everywhere
+    txt = pc.fill_null(txt, "")
+    words = pc.split_pattern(pc.utf8_lower(txt), " ")
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values
+    lens = np.diff(offsets)  # always >= 1: split("") -> [""]
+
+    def per_row_sum(flat_arr) -> np.ndarray:
+        # cumsum-diff segmented sum: exact for zero-length segments
+        # (np.add.reduceat would return arr[offset] for those)
+        arr = flat_arr.to_numpy(zero_copy_only=False)[: offsets[-1]]
+        cs = np.concatenate([[0], np.cumsum(arr, dtype=np.int64)])
+        return cs[offsets[1:]] - cs[offsets[:-1]]
+
+    return {
+        "n_words": lens.astype(np.int64),
+        "n_stop": per_row_sum(pc.is_in(flat, value_set=stop_set)),
+        "n_alpha": per_row_sum(pc.match_substring_regex(flat, r"^[a-z]+$")),
+        "sum_len": per_row_sum(pc.utf8_length(flat)),
+    }
+
+
 def lang_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Quality/language heuristics per document.
 
@@ -29,32 +61,12 @@ def lang_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
     stop_ratio (= n_stop/n_words, identical single division in SQL),
     n_alpha, mean_word_len, is_en (stop_ratio > 0.09).
     """
-    stop_set = pa.array(STOPWORDS, type=pa.string())
 
     def fn(batch: pa.Table) -> pa.Table:
-        txt = batch[text_col]
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        # null texts -> "": split of a null yields a null list whose
-        # offsets don't advance, which would make reduceat absorb the
-        # next row's first word — fill first, then lens >= 1 everywhere
-        txt = pc.fill_null(txt, "")
-        words = pc.split_pattern(pc.utf8_lower(txt), " ")
-        offsets = words.offsets.to_numpy().astype(np.int64)
-        flat = words.values
-        lens = np.diff(offsets)  # always >= 1: split("") -> [""]
-
-        def per_row_sum(flat_arr) -> np.ndarray:
-            # cumsum-diff segmented sum: exact for zero-length segments
-            # (np.add.reduceat would return arr[offset] for those)
-            arr = flat_arr.to_numpy(zero_copy_only=False)[: offsets[-1]]
-            cs = np.concatenate([[0], np.cumsum(arr, dtype=np.int64)])
-            return cs[offsets[1:]] - cs[offsets[:-1]]
-
-        n_stop = per_row_sum(pc.is_in(flat, value_set=stop_set))
-        n_alpha = per_row_sum(pc.match_substring_regex(flat, r"^[a-z]+$"))
-        sum_len = per_row_sum(pc.utf8_length(flat))
-        n_words = lens.astype(np.int64)
+        qa = quality_arrays(batch[text_col])
+        n_words, n_stop, n_alpha, sum_len = (
+            qa["n_words"], qa["n_stop"], qa["n_alpha"], qa["sum_len"]
+        )
         stop_ratio = n_stop / n_words  # n_words >= 1 (split of "" -> [""])
         mean_word_len = sum_len / n_words
         return pa.table(
