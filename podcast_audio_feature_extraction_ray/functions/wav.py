@@ -56,8 +56,15 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= n:
         tag = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + length > n:  # truncated/corrupt files must not
+            raise ValueError(      # silently decode to a shorter clip
+                f"truncated WAV: chunk {tag!r} declares {length} bytes, "
+                f"{n - pos - 8} remain"
+            )
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
+            if length < 16:
+                raise ValueError(f"malformed fmt chunk ({length} bytes < 16)")
             fmt_tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
             if fmt_tag != 1:
                 raise ValueError(f"unsupported WAV format tag {fmt_tag} (PCM only)")

@@ -1513,19 +1513,14 @@ def unigram_nll_scores(sf_dir: str, k_smooth: int = 1):
         pos_c = np.minimum(pos, len(st) - 1)
         hit = (len(st) > 0) & (st[pos_c] == v)
         tok_q = np.where(hit, lpq[pos_c], oq)
-        # per-doc EXACT int64 segment sum: any reduction order gives the
-        # same integer (reduceat quirk: an empty segment returns the
-        # element at its start index, and a trailing empty segment's
-        # index would be out of bounds — clip and zero them)
+        # per-doc EXACT int64 segment sum via cumsum-diff (the
+        # quality_arrays idiom): integers sum exactly in any order, and
+        # zero-length segments come out 0 — no reduceat empty-segment
+        # hazard
         n = np.diff(offs)
         keep = n > 0
-        starts = np.minimum(offs[:-1], max(len(tok_q) - 1, 0))
-        doc_q = (
-            np.add.reduceat(tok_q, starts)
-            if len(tok_q)
-            else np.zeros(len(n), np.int64)
-        )
-        doc_q = np.where(keep, doc_q, 0)
+        csum = np.concatenate(([0], np.cumsum(tok_q, dtype=np.int64)))
+        doc_q = csum[offs[1:]] - csum[offs[:-1]]
         nll = -(doc_q / _NLL_SCALE)  # ONE exact int->double op per doc
         return pa.table(
             {
@@ -1621,9 +1616,9 @@ def curation_pipeline(sf_dir: str):
         src = batch["source"].to_numpy(zero_copy_only=False)
         lim = np.where(src == "src0", 256, np.where(src == "src1", 16, 64))
         keep = quality & (b0 < lim)
-        texts = batch["text"].to_pylist()
-        th = [md5(texts[i].encode()).hexdigest() for i in np.flatnonzero(keep)]
         kept = np.flatnonzero(keep)
+        kept_texts = batch["text"].take(pa.array(kept)).to_pylist()
+        th = [md5(t.encode()).hexdigest() for t in kept_texts]
         return pa.table(
             {
                 "text_hash": pa.array(th, pa.string()),

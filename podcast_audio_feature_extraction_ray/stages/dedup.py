@@ -665,6 +665,12 @@ def dup_span_grams(ds, text_col: str = "text", id_col: str = "doc_id",
         ok = doc_idx[: len(t) - gram + 1] == doc_idx[gram - 1 :]
         codes = np.zeros(int(ok.sum()), dtype=np.int64)
         d = doc_idx[: len(t) - gram + 1][ok]
+        if len(codes) == 0:  # no doc long enough for a full gram
+            return pa.table(
+                {"gram": pa.array([], pa.int64()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "n_occurrences": pa.array([], pa.int64())}
+            )
         for k in range(gram):
             codes += t[k : len(t) - gram + 1 + k][ok] * pows[k]
         # batch-local (doc, gram) distinct -> df partial; occurrences -> tf
@@ -708,7 +714,15 @@ def dup_span_grams(ds, text_col: str = "text", id_col: str = "doc_id",
     pruned = totals.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
     out = _topk.top_k(pruned, "n_docs", top, tiebreak=["__negocc", "gram"])
     # rank the tiny k-row result driver-side (spans blocks)
-    df = out.to_pandas().drop(columns=["__negocc"])
+    df = out.to_pandas()
+    if df.empty:  # no duplicated span anywhere: empty frame, right schema
+        return pd.DataFrame(
+            {"gram": pd.Series(dtype=np.int64),
+             "n_docs": pd.Series(dtype=np.int64),
+             "n_occurrences": pd.Series(dtype=np.int64),
+             "rank": pd.Series(dtype=np.int64)}
+        )
+    df = df.drop(columns=["__negocc"])
     df = df.sort_values(
         ["n_docs", "n_occurrences", "gram"], ascending=[False, False, True],
         kind="mergesort",

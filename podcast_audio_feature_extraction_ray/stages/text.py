@@ -22,12 +22,18 @@ MERSENNE61 = (1 << 61) - 1
 TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
+_STOP_SET = None  # built once per process, not per batch
+
+
 def quality_arrays(txt) -> dict[str, np.ndarray]:
     """The per-doc quality/language counters (shared kernel: used by
     ``lang_quality`` and by composed pipelines that must apply the SAME
     gate without re-deriving the formulas). Returns exact int64 arrays
     ``n_words, n_stop, n_alpha, sum_len``."""
-    stop_set = pa.array(STOPWORDS, type=pa.string())
+    global _STOP_SET
+    if _STOP_SET is None:
+        _STOP_SET = pa.array(STOPWORDS, type=pa.string())
+    stop_set = _STOP_SET
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
     # null texts -> "": split of a null yields a null list whose

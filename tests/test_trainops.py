@@ -837,3 +837,41 @@ def test_global_order_index_layout_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
     df = tbl.to_pandas().sort_values(["score", "id"], ascending=[False, True])
     assert np.array_equal(a["id"].to_numpy(), df["id"].to_numpy())
+
+
+def test_dup_span_short_docs_no_crash(ray_session):
+    """A batch with >= gram total tokens but no single doc long enough
+    must return an empty result, not crash (regression)."""
+    from podcast_audio_feature_extraction_ray.stages.dedup import dup_span_grams
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": ["a", "b", "c"], "text": ["x y z", "p q r", "u v w"]}
+        )
+    )
+    got = dup_span_grams(ds, gram=6, base=1024, top=5)
+    assert len(got) == 0
+
+
+def test_wav_decode_rejects_truncation():
+    """Truncated/corrupt chunk lengths raise instead of silently
+    decoding a shorter clip (regression)."""
+    import struct
+
+    from podcast_audio_feature_extraction_ray.functions import wav
+
+    x = np.arange(10, dtype=np.int16)
+    enc = wav.wav_encode(x, 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        wav.wav_decode(enc[:-8])  # cut mid-data
+    # data chunk declaring more than the file holds
+    bad = bytearray(enc)
+    dpos = enc.index(b"data")
+    bad[dpos + 4 : dpos + 8] = struct.pack("<I", 10_000)
+    with pytest.raises(ValueError, match="truncated"):
+        wav.wav_decode(bytes(bad))
+    # short fmt chunk -> ValueError, not struct.error
+    fpos = enc.index(b"fmt ")
+    short = enc[:fpos + 4] + struct.pack("<I", 8) + enc[fpos + 8 : fpos + 16]
+    with pytest.raises(ValueError):
+        wav.wav_decode(short + enc[fpos + 24:])
