@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_q": q.semdedup_q,  # rows-only (k-means + chained drop)
         "ordered_export": q.ordered_export,
         "curation_pipeline": q.curation_pipeline,
+        "dup_span_hashed_q": q.dup_span_hashed_q,  # rows-only (hash family)
     }
 
 

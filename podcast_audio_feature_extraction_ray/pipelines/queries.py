@@ -1641,3 +1641,13 @@ def curation_pipeline(sf_dir: str):
         )
     )
     return out
+
+
+def dup_span_hashed_q(sf_dir: str):
+    """Open-vocabulary duplicate-span detection (64-bit hashed 6-gram
+    codes — the path for real BPE vocabularies where mixed-radix exact
+    codes overflow). Rows-only; span sets must equal the exact encoder's
+    (pytest), modulo the hash relabeling."""
+    from podcast_audio_feature_extraction_ray.stages.dedup import dup_span_grams
+
+    return dup_span_grams(_docs(sf_dir), gram=6, top=100, hashed=True)

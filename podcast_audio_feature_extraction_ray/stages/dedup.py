@@ -620,7 +620,8 @@ def ngram_jaccard_verify(
 
 
 def dup_span_grams(ds, text_col: str = "text", id_col: str = "doc_id",
-                   gram: int = 6, base: int = 1024, top: int = 100):
+                   gram: int = 6, base: int = 1024, top: int = 100,
+                   hashed: bool = False):
     """Exact duplicate-SPAN detection across documents (the Lee et al.
     2022 "Deduplicating Training Data Makes Language Models Better"
     exact-substring family, at n-gram granularity): every ``gram``-token
@@ -635,7 +636,10 @@ def dup_span_grams(ds, text_col: str = "text", id_col: str = "doc_id",
     int64 encoding (vs a hash) is what makes the DuckDB oracle
     replicable; it requires every token id < ``base`` and
     ``base**gram <= 2**63`` — violated input raises rather than
-    silently colliding (use minhash/simhash for open vocabularies).
+    silently colliding. ``hashed=True`` is the OPEN-VOCABULARY path:
+    spans are 64-bit ``hashing.ngram_hashes`` codes instead (collision
+    odds ~G²/2⁶⁵ — negligible at any real corpus; rows-only, since the
+    hash family has no SQL equal). Same aggregation shape either way.
     """
     from podcast_audio_feature_extraction_ray.functions.scalar import word_tokens_arrow
     from podcast_audio_feature_extraction_ray.stages import topk as _topk
@@ -644,35 +648,43 @@ def dup_span_grams(ds, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError(f"base**gram {base}**{gram} overflows int64")
     pows = (base ** np.arange(gram - 1, -1, -1, dtype=np.int64))
 
+    _EMPTY = pa.table(
+        {"gram": pa.array([], pa.int64()),
+         "n_docs": pa.array([], pa.int64()),
+         "n_occurrences": pa.array([], pa.int64())}
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
-        vals, offs = word_tokens_arrow(batch[text_col])
-        t = vals.astype(np.int64)
-        if len(t) and int(t.max()) >= base:
-            raise ValueError(
-                f"token id {int(t.max())} >= base {base}: exact span encoding "
-                "would collide; raise base or use the hashed dedup family"
-            )
-        L = np.diff(offs)
-        ndoc = len(L)
-        doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), L)
-        if len(t) < gram:
-            return pa.table(
-                {"gram": pa.array([], pa.int64()),
-                 "n_docs": pa.array([], pa.int64()),
-                 "n_occurrences": pa.array([], pa.int64())}
-            )
-        # all positions whose full gram stays inside one doc
-        ok = doc_idx[: len(t) - gram + 1] == doc_idx[gram - 1 :]
-        codes = np.zeros(int(ok.sum()), dtype=np.int64)
-        d = doc_idx[: len(t) - gram + 1][ok]
-        if len(codes) == 0:  # no doc long enough for a full gram
-            return pa.table(
-                {"gram": pa.array([], pa.int64()),
-                 "n_docs": pa.array([], pa.int64()),
-                 "n_occurrences": pa.array([], pa.int64())}
-            )
-        for k in range(gram):
-            codes += t[k : len(t) - gram + 1 + k][ok] * pows[k]
+        if hashed:
+            # open-vocab path: 64-bit word-hash n-grams (winnowing rule:
+            # docs shorter than the gram yield none)
+            wh, t_offs = hashing.hash_words(batch[text_col])
+            gh, g_off = hashing.ngram_hashes(wh, t_offs, gram, short_gram=False)
+            codes = gh.view(np.int64)
+            d = np.repeat(np.arange(len(g_off) - 1, dtype=np.int64), np.diff(g_off))
+            if len(codes) == 0:
+                return _EMPTY
+        else:
+            vals, offs = word_tokens_arrow(batch[text_col])
+            t = vals.astype(np.int64)
+            if len(t) and int(t.max()) >= base:
+                raise ValueError(
+                    f"token id {int(t.max())} >= base {base}: exact span encoding "
+                    "would collide; raise base or use hashed=True"
+                )
+            L = np.diff(offs)
+            ndoc = len(L)
+            doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), L)
+            if len(t) < gram:
+                return _EMPTY
+            # all positions whose full gram stays inside one doc
+            ok = doc_idx[: len(t) - gram + 1] == doc_idx[gram - 1 :]
+            codes = np.zeros(int(ok.sum()), dtype=np.int64)
+            d = doc_idx[: len(t) - gram + 1][ok]
+            if len(codes) == 0:  # no doc long enough for a full gram
+                return _EMPTY
+            for k in range(gram):
+                codes += t[k : len(t) - gram + 1 + k][ok] * pows[k]
         # batch-local (doc, gram) distinct -> df partial; occurrences -> tf
         order = np.lexsort((codes, d))
         cs, dsrt = codes[order], d[order]

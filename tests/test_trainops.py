@@ -875,3 +875,29 @@ def test_wav_decode_rejects_truncation():
     short = enc[:fpos + 4] + struct.pack("<I", 8) + enc[fpos + 8 : fpos + 16]
     with pytest.raises(ValueError):
         wav.wav_decode(short + enc[fpos + 24:])
+
+
+def test_dup_span_hashed_matches_word_oracle(ray_session, docs_ds, docs_df):
+    """The hashed (open-vocab) encoder counts TRUE word spans (unlike
+    the exact encoder, whose toy len*31+first-letter tokens collide):
+    its (n_docs, n_occurrences) multiset must equal a word-level loop
+    oracle exactly (64-bit hash collisions are negligible here)."""
+    from collections import Counter, defaultdict
+
+    from podcast_audio_feature_extraction_ray.stages.dedup import dup_span_grams
+
+    hashed = dup_span_grams(docs_ds, gram=3, top=100_000, hashed=True)
+
+    occ = Counter()
+    docs_of = defaultdict(set)
+    for _, r in docs_df.iterrows():
+        words = r.text.split()
+        for i in range(len(words) - 2):
+            g = (words[i], words[i + 1], words[i + 2])
+            occ[g] += 1
+            docs_of[g].add(r.doc_id)
+    want = sorted(
+        (len(docs_of[g]), n) for g, n in occ.items() if len(docs_of[g]) >= 2
+    )
+    got = sorted(zip(hashed.n_docs, hashed.n_occurrences))
+    assert got == want
