@@ -1037,7 +1037,7 @@ def contamination_check_q(sf_dir: str):
 
 def unk_remap(sf_dir: str):
     """Rare-token -> UNK remap counts (the vocabulary-pruning step before
-    training): build the top-50 vocabulary (same ranking as
+    training): build the top-16 vocabulary (same ranking as
     ``vocab_topk``), broadcast the sorted token ids via ``ray.put``, and
     stream the token table once counting per doc how many tokens fall
     outside the vocabulary — one ``searchsorted`` per batch, per-row
@@ -1430,7 +1430,15 @@ def s13_csv_roundtrip(sf_dir: str):
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
         )
         docs.write_csv(out_dir)
-        back = rd.read_csv(out_dir)
+        # empty-string text must survive the trip as '' (not null):
+        # without this an empty document would read back null and fail
+        # the value compare against the source table
+        from pyarrow import csv as _pcsv
+
+        back = rd.read_csv(
+            out_dir,
+            convert_options=_pcsv.ConvertOptions(strings_can_be_null=False),
+        )
 
         def shape(batch: pa.Table) -> pa.Table:
             return pa.table(

@@ -475,14 +475,17 @@ def _hot_session_index(
     pair_refs = [_block_sketch.remote(r) for r in kb_refs]
     tree_blocks = 256
     if len(pair_refs) <= tree_blocks:
-        acc: dict = {}
-        bb_all = []
-        nn_all = []
+        # true streaming fold: each block's partial is already run-summed
+        # (<= NB distinct buckets), so the running accumulator stays <= NB
+        # pairs no matter how many blocks arrive
+        bb = np.empty(0, dtype=np.int64)
+        nn = np.empty(0, dtype=np.int64)
         for r in pair_refs:
             t = _ray_.get(r)
-            bb_all.append(t["bucket"].to_numpy(zero_copy_only=False))
-            nn_all.append(t["n"].to_numpy(zero_copy_only=False))
-        bb, nn = _sum_runs(np.concatenate(bb_all), np.concatenate(nn_all))
+            bb, nn = _sum_runs(
+                np.concatenate([bb, t["bucket"].to_numpy(zero_copy_only=False)]),
+                np.concatenate([nn, t["n"].to_numpy(zero_copy_only=False)]),
+            )
         cand_arr = bb[nn > thr]
     else:  # pragma: no cover — >256-block inputs (cluster scale)
         import ray.data as _rd
@@ -943,9 +946,18 @@ def segment_sessions(
                 refs = _ray.get(registry.fetch.remote(miss))
                 for u, arr in zip(miss, _ray.get(refs)):
                     cache[u] = arr
-                while len(cache) > 4096:  # pragma: no cover — huge runs
-                    cache.pop(next(iter(cache)))
             arrs = {u: cache[u] for u in uniq}
+            if len(cache) > 4096:  # pragma: no cover — huge runs
+                # evict AFTER building arrs (a needed uid must survive)
+                # and skip this group's uids; insertion order is oldest
+                # first, and blockref chunk uids of one block were
+                # inserted contiguously so whole blocks unpin together
+                keep = set(uniq)
+                for u in list(cache):
+                    if len(cache) <= 4096:
+                        break
+                    if u not in keep:
+                        del cache[u]
             block = block.drop_columns(["__uid", "__voff", "__vlen"])
         chunk_col = block["__chunk"].to_numpy(zero_copy_only=False)
         normal_mask = chunk_col < 0
