@@ -160,6 +160,7 @@ def window_features_stream(
     hop: int,
     gt_threshold: int = 25_000,
     match_token: int = 13,
+    functionals: bool = False,
 ) -> dict[str, np.ndarray]:
     """Per-window aggregate family computed DIRECTLY on the session value
     buffer — no window gather, minimal memory traffic.
@@ -184,6 +185,20 @@ def window_features_stream(
     position holding the same value; each position then contributes +1 to
     the contiguous run of windows ``k`` with ``k*H <= tick(i) < k*H+width``
     and ``k*H > tick(prev)``, accumulated with two bincounts.
+
+    With ``functionals=True`` the G1 functional family is appended
+    (reference eGeMAPS percentile/slope functionals,
+    ``src/features/OpenSmileExtractor.py:21-27`` consumed by
+    ``src/search/metrics.py:33-57``), all integer-exact so SQL oracles
+    match bit-for-bit:
+    - ``tok_p20/p50/p80``: sorted-window element at zero-based index
+      ``floor((n-1)*q)`` (discrete quantile, int64);
+    - ``tok_slope``: least-squares slope of value vs in-window position,
+      emitted as ONE double division of two exact int64s
+      (``num = n*Σ(i·v) - Σi·Σv``, ``den = n*Σi² - (Σi)²``; 0.0 when
+      ``n == 1``). Slope is gather-free (two extra reduceats);
+      percentiles gather window values once and do a single composite
+      ``(win << 32) | value`` int64 sort.
     """
     n_win = len(ts_start)
     out: dict[str, np.ndarray] = {"n_tokens": slice_len.astype(np.int64)}
@@ -198,6 +213,11 @@ def window_features_stream(
         out["tok_std"] = zf.copy()
         out["freq_gt"] = z64.copy()
         out["match_count"] = z64.copy()
+        if functionals:
+            out["tok_p20"] = z64.copy()
+            out["tok_p50"] = z64.copy()
+            out["tok_p80"] = z64.copy()
+            out["tok_slope"] = zf.copy()
         out["n_distinct"] = z64.copy()
         return out
 
@@ -234,6 +254,41 @@ def window_features_stream(
     out["freq_gt"] = np.add.reduceat(bmask, inter, dtype=np.int64)[::2]
     np.equal(v_s, match_token, out=bmask)
     out["match_count"] = np.add.reduceat(bmask, inter, dtype=np.int64)[::2]
+
+    if functionals:
+        n_ = out["n_tokens"]
+        s0 = out["tok_sum"]
+        # slope, gather-free: Σ(i·v) over a window = reduceat(pos·v) minus
+        # start·Σv (pos = buffer index; i = pos - window start). Requires
+        # m · max(v) < 2^63 — true for int32 tokens and any real batch.
+        np.copyto(a64, v_s, casting="unsafe")
+        a64[:m] *= ARENA.iota(m)
+        a64[m] = 0
+        s1 = np.add.reduceat(a64, inter, dtype=np.int64)[::2] - starts * s0
+        si = n_ * (n_ - 1) // 2
+        sii = (n_ - 1) * n_ * (2 * n_ - 1) // 6
+        num = n_ * s1 - si * s0
+        den = n_ * sii - si * si
+        out["tok_slope"] = np.where(den > 0, num / np.where(den > 0, den, 1), 0.0)
+        # percentiles: gather window values once, ONE composite int64 sort
+        # (win << 32 | value clusters each window's values sorted)
+        gidx, goff = concat_ranges(starts, slice_len)
+        T = int(goff[-1])
+        compw = ARENA.get("compw", T, np.int64)
+        compw.fill(0)
+        compw[goff[1:-1]] = 1  # boundaries unique: slice_len > 0
+        np.cumsum(compw, out=compw)
+        compw <<= np.int64(32)
+        compw += v[gidx]
+        compw.sort()
+        base = goff[:-1]
+        mask32 = np.int64((1 << 32) - 1)
+        for name, qn, qd in (("tok_p20", 1, 5), ("tok_p50", 1, 2), ("tok_p80", 4, 5)):
+            pick = compw[base + ((n_ - 1) * qn) // qd]
+            out[name] = np.bitwise_and(pick, mask32)
+        # dict order: slope was inserted before the percentiles — rebuild
+        # the intended order (p20, p50, p80, slope) for stable schemas
+        out["tok_slope"] = out.pop("tok_slope")
 
     # ---- sliding distinct via previous-occurrence + range-add
     if m == 0:
@@ -326,6 +381,7 @@ def window_aggregates(
     seg_offsets: np.ndarray,
     gt_threshold: int = 25_000,
     match_token: int = 13,
+    functionals: bool = False,
 ) -> dict[str, np.ndarray]:
     """Per-window aggregate family (token analog of reference metrics).
 
@@ -354,6 +410,11 @@ def window_aggregates(
         out["tok_std"] = zf.copy()
         out["tok_max"] = z64.copy()
         out["tok_min"] = z64.copy()
+        if functionals:
+            out["tok_p20"] = z64.copy()
+            out["tok_p50"] = z64.copy()
+            out["tok_p80"] = z64.copy()
+            out["tok_slope"] = zf.copy()
         out["n_distinct"] = z64.copy()
         return out
 
@@ -374,6 +435,21 @@ def window_aggregates(
     out["tok_std"] = np.sqrt(np.maximum(var, 0.0))
     out["tok_max"] = np.maximum.reduceat(v, starts)
     out["tok_min"] = np.minimum.reduceat(v, starts)
+
+    if functionals:
+        # same integer-exact definitions as window_features_stream
+        n_ = out["n_tokens"]
+        i_loc = np.arange(len(v), dtype=np.int64) - np.repeat(starts, lens)
+        s1 = np.add.reduceat(i_loc * v, starts)
+        si = n_ * (n_ - 1) // 2
+        sii = (n_ - 1) * n_ * (2 * n_ - 1) // 6
+        num = n_ * s1 - si * s
+        den = n_ * sii - si * si
+        sv_order = np.lexsort((v, np.repeat(np.arange(n, dtype=np.int64), lens)))
+        sv = v[sv_order]
+        for name, qn, qd in (("tok_p20", 1, 5), ("tok_p50", 1, 2), ("tok_p80", 4, 5)):
+            out[name] = sv[starts + ((n_ - 1) * qn) // qd]
+        out["tok_slope"] = np.where(den > 0, num / np.where(den > 0, den, 1), 0.0)
 
     # distinct count: lexsort by (window, value), count value-change points
     order = np.lexsort((v, win_of))

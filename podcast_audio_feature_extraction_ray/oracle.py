@@ -65,6 +65,7 @@ def oracle_segment(
     match_token: int = 13,
     lag: int = 0,
     lead: int = 0,
+    functionals: bool = False,
 ) -> pd.DataFrame:
     """Golden windowed output with aggregates (and optional lag/lead)."""
     rows = []
@@ -88,6 +89,18 @@ def oracle_segment(
                 tok_max=int(arr.max()),
                 tok_min=int(arr.min()),
             )
+            if functionals:
+                n = len(seg)
+                srt = sorted(int(x) for x in seg)
+                rec["tok_p20"] = srt[(n - 1) // 5]
+                rec["tok_p50"] = srt[(n - 1) // 2]
+                rec["tok_p80"] = srt[(4 * (n - 1)) // 5]
+                s0 = sum(srt)
+                s1 = sum(i * int(x) for i, x in enumerate(seg))
+                si = n * (n - 1) // 2
+                sii = (n - 1) * n * (2 * n - 1) // 6
+                den = n * sii - si * si
+                rec["tok_slope"] = (n * s1 - si * s0) / den if den else 0.0
             if lag or lead:
                 e = s + len(seg)
                 rec["lag_tokens"] = [int(x) for x in toks[max(0, s - lag) : s]]

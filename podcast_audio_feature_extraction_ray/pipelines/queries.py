@@ -84,16 +84,19 @@ def w3_segment_windows(sf_dir: str):
 
 
 def g_window_aggs(sf_dir: str):
-    """G2-G7 aggregate family per frame window
-    (reference ``src/search/metrics.py:8-57``)."""
+    """G1-G7 aggregate + functional family per frame window
+    (reference ``src/search/metrics.py:8-57``; percentile/slope
+    functionals from the eGeMAPS family,
+    ``src/features/OpenSmileExtractor.py:21-27``)."""
     out = seg.segment_rows(
-        _tokens(sf_dir), FRAME_Q, with_aggregates=True,
+        _tokens(sf_dir), FRAME_Q, with_aggregates=True, functionals=True,
         gt_threshold=GT_THRESHOLD, match_token=MATCH_TOKEN,
     )
     return out.select_columns(
         WIN_COLS
         + ["n_tokens", "n_distinct", "freq_gt", "match_count",
-           "tok_sum", "tok_mean", "tok_std", "tok_max", "tok_min"]
+           "tok_sum", "tok_mean", "tok_std", "tok_max", "tok_min",
+           "tok_p20", "tok_p50", "tok_p80", "tok_slope"]
     )
 
 

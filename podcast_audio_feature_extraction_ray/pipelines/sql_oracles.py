@@ -84,15 +84,31 @@ agg AS (
          cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint)), 'sum') AS bigint) AS tok_sum,
          cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint) * cast(x AS bigint)), 'sum') AS bigint) AS tok_sq,
          cast(list_aggregate(seg_tokens, 'max') AS bigint) AS tok_max,
-         cast(list_aggregate(seg_tokens, 'min') AS bigint) AS tok_min
+         cast(list_aggregate(seg_tokens, 'min') AS bigint) AS tok_min,
+         list_sort(seg_tokens) AS sorted_tokens,
+         cast(list_aggregate(list_transform(seg_tokens,
+              (x, i) -> (cast(i AS bigint) - 1) * cast(x AS bigint)), 'sum') AS bigint) AS tok_s1
   FROM frame
+),
+fn AS (
+  SELECT *,
+         n_tokens * (n_tokens - 1) // 2 AS tok_si,
+         (n_tokens - 1) * n_tokens * (2 * n_tokens - 1) // 6 AS tok_sii
+  FROM agg
 )
 SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens,
        n_tokens, n_distinct, freq_gt, match_count, tok_sum,
        tok_sum / n_tokens AS tok_mean,
        sqrt(greatest(tok_sq / n_tokens - (tok_sum / n_tokens) * (tok_sum / n_tokens), 0.0)) AS tok_std,
-       tok_max, tok_min
-FROM agg
+       tok_max, tok_min,
+       cast(sorted_tokens[cast((n_tokens - 1) // 5 AS bigint) + 1] AS bigint) AS tok_p20,
+       cast(sorted_tokens[cast((n_tokens - 1) // 2 AS bigint) + 1] AS bigint) AS tok_p50,
+       cast(sorted_tokens[cast(4 * (n_tokens - 1) // 5 AS bigint) + 1] AS bigint) AS tok_p80,
+       CASE WHEN n_tokens * tok_sii - tok_si * tok_si > 0
+            THEN cast(n_tokens * tok_s1 - tok_si * tok_sum AS double)
+                 / cast(n_tokens * tok_sii - tok_si * tok_si AS double)
+            ELSE 0.0 END AS tok_slope
+FROM fn
 """
 
 SQL["lag_lead_windows"] = f"""

@@ -59,6 +59,7 @@ def _emit_windows(
     lead: int = 0,
     gt_threshold: int = 25_000,
     match_token: int = 13,
+    functionals: bool = False,
 ) -> pa.Table:
     """Shared window-emission: plan, (optionally) gather, aggregate.
 
@@ -118,6 +119,7 @@ def _emit_windows(
             hop=spec.hop,
             gt_threshold=gt_threshold,
             match_token=match_token,
+            functionals=functionals,
         )
         for name, arr in aggs.items():
             cols[name] = pa.array(arr)

@@ -42,6 +42,36 @@ def test_segment_rows_matches_oracle(tiny_tokens, tiny_df, spec):
     assert_windows_equal(got, want, key=("doc_id", "source", "seq_no"))
 
 
+@pytest.mark.parametrize("spec", SPECS, ids=[f"{s.mode}{s.window}_{s.hop}" for s in SPECS])
+def test_functionals_match_oracle(tiny_tokens, tiny_df, spec):
+    """G1 percentile/slope functionals (integer-exact definitions)."""
+    ds = rd.from_arrow(tiny_tokens)
+    got = seg.segment_rows(
+        ds, spec, key_cols=("doc_id", "source", "seq_no"),
+        with_aggregates=True, functionals=True,
+    ).to_pandas()
+    want = rows_as_sessions_oracle(tiny_df, spec, functionals=True)
+    for c in ("tok_p20", "tok_p50", "tok_p80", "tok_slope"):
+        assert c in got.columns and c in want.columns
+    assert_windows_equal(got, want, key=("doc_id", "source", "seq_no"))
+
+
+def test_functionals_sessions_and_chunked(tiny_tokens, tiny_df):
+    """Functionals through the grouped and chunked segmenter paths too."""
+    spec = WindowSpec(16, 8, "frame")
+    want = oracle.oracle_segment(tiny_df, spec, functionals=True)
+    got = seg.segment_sessions(
+        rd.from_arrow(tiny_tokens), spec,
+        with_aggregates=True, functionals=True,
+    ).to_pandas()
+    assert_windows_equal(got, want)
+    got2 = seg.segment_sessions(
+        rd.from_arrow(tiny_tokens), spec, chunk_ticks=64, impl="groups",
+        with_aggregates=True, functionals=True,
+    ).to_pandas()
+    assert_windows_equal(got2, want)
+
+
 @pytest.mark.parametrize(
     "spec", [WindowSpec(16, 8, "frame"), WindowSpec(24, 12, "segment")],
     ids=["frame", "segment"],
