@@ -632,12 +632,22 @@ def g8_collect(sf_dir: str):
     ordered doc_id list per source."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
 
-    def per_source(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(int(x) for x in group["doc_id"])
-        return pd.DataFrame({"source": [group["source"].iloc[0]], "doc_ids": [ids],
-                             "n_docs": [np.int64(len(ids))]})
+    def per_source(group: pa.Table) -> pa.Table:
+        # vectorized in-group work: numpy sort + one ListArray wrap —
+        # no Python per element (a source can hold billions of ids)
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(ids)], type=pa.int32()), pa.array(ids)
+        )
+        return pa.table(
+            {
+                "source": group["source"].slice(0, 1),
+                "doc_ids": lst,
+                "n_docs": pa.array([len(ids)], type=pa.int64()),
+            }
+        )
 
-    return docs.groupby("source").map_groups(per_source, batch_format="pandas")
+    return docs.groupby("source").map_groups(per_source, batch_format="pyarrow")
 
 
 def j2_point_lookup(sf_dir: str):

@@ -396,6 +396,7 @@ def semdedup(
     seed: int = 7,
     pair_chunk: int = 1024,
     round_to: int = 6,
+    max_cluster: int = 4096,
 ):
     """Semantic deduplication (Abbas et al. 2023 "SemDeDup"): cluster
     embeddings with a bounded-sample cosine k-means (the ``ivf_topk``
@@ -411,6 +412,13 @@ def semdedup(
     assumption (documented, same as ``neardup_toppairs``): one
     cluster's vectors fit in one group task — size clusters via
     ``n_centroids`` ~ corpus/expected_cluster_size.
+
+    Degenerate-clustering guard: a cluster larger than ``max_cluster``
+    is NOT compared all-pairs — every row is checked only against the
+    ``max_cluster`` lowest-id members (compute O(n·cap), not O(n²)),
+    and rows whose lower-id peer set was clipped carry
+    ``truncated=True`` so callers see exactly where recall may be lost
+    (the ``max_bucket`` pattern from ``dedup.minhash_lsh_pairs``).
     """
     import ray
 
@@ -449,12 +457,14 @@ def semdedup(
         E = _emb_matrix(g, col)
         En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
         n = len(ids)
+        head = min(n, max_cluster)  # lower-id peer set is capped
         mx = np.full(n, -np.inf)  # no lower-id peer -> -1.0 sentinel below
         for s in range(1, n, pair_chunk):
             e = min(s + pair_chunk, n)
-            # rows s:e vs ALL lower-id rows 0:e, lower-triangular mask
-            sims = En[s:e] @ En[:e].T
-            tri = np.arange(s, e)[:, None] > np.arange(e)[None, :]
+            w = min(e, head)
+            # rows s:e vs the lowest-id rows 0:w, lower-triangular mask
+            sims = En[s:e] @ En[:w].T
+            tri = np.arange(s, e)[:, None] > np.arange(w)[None, :]
             sims = np.where(tri, sims, -np.inf)
             mx[s:e] = sims.max(axis=1)
         mx = np.round(mx, round_to)  # verifiable rounded cosine
@@ -465,6 +475,7 @@ def semdedup(
                 "cluster": g["cluster"].slice(0, n),
                 "max_prev_cos": pa.array(np.where(np.isfinite(mx), mx, -1.0)),
                 "keep": pa.array(keep),
+                "truncated": pa.array(np.arange(n) > head),
             }
         )
 

@@ -422,36 +422,47 @@ def neardup_clusters(ds, pairs: "pd.DataFrame", id_col: str = "doc_id"):
     per cluster).
 
     The pair list is the broadcast-small side (near-dup pairs are a
-    vanishing fraction of the corpus); union-find runs once driver-side
-    over the pairs, and the resulting id→cluster map is broadcast while
-    the corpus streams through one ``map_batches``. Docs not in any pair
+    vanishing fraction of the corpus); components are resolved once
+    driver-side with VECTORIZED min-label propagation + pointer jumping
+    over dense int arrays — O((E+V)·log V) numpy ops, no Python per
+    pair — and the resulting id→cluster map is broadcast while the
+    corpus streams through one ``map_batches``. Docs not in any pair
     are their own cluster.
     """
     import ray as _ray
 
     a = pairs["a"].to_numpy()
     b = pairs["b"].to_numpy()
-    nodes = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
-    parent = {int(x): int(x) for x in nodes}
-
-    def find(x: int) -> int:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for x, y in zip(a, b):
-        rx, ry = find(int(x)), find(int(y))
-        if rx != ry:
-            # union by min id keeps cluster_id = min(member ids)
-            lo, hi = (rx, ry) if rx < ry else (ry, rx)
-            parent[hi] = lo
+    if len(a):
+        nodes, inv = np.unique(
+            np.concatenate([a, b]).astype(np.int64), return_inverse=True
+        )
+        ai, bi = inv[: len(a)], inv[len(a):]
+        # label[i] = index of the smallest node reachable so far; hook
+        # edges with minimum.at, then compress by pointer jumping until
+        # a global fixpoint — labels only ever decrease, so this
+        # terminates in O(log V) rounds on any pair list
+        label = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            old = label
+            label = label.copy()
+            m = np.minimum(label[ai], label[bi])
+            np.minimum.at(label, ai, m)
+            np.minimum.at(label, bi, m)
+            while True:
+                nl = label[label]
+                if np.array_equal(nl, label):
+                    break
+                label = nl
+            if np.array_equal(label, old):
+                break
+        cluster_arr = nodes[label]
+    else:
+        nodes = np.empty(0, np.int64)
+        cluster_arr = nodes
     # broadcast (sorted node ids, cluster ids) as ARRAYS; the corpus side
     # resolves with one np.searchsorted per batch — no per-row Python
     # (the j2_point_lookup pattern)
-    cluster_arr = np.array([find(int(x)) for x in nodes], dtype=np.int64)
     ref = _ray.put((nodes.astype(np.int64), cluster_arr))
 
     def attach(batch: pa.Table) -> pa.Table:

@@ -124,6 +124,71 @@ def test_neardup_clusters_union_find():
     assert set(got[got.keep].doc_id) == {1, 4, 5, 7, 8, 10}
 
 
+def test_neardup_clusters_scale_and_loop_oracle():
+    """Vectorized label propagation resolves 10^7 pairs in seconds and
+    matches a dict union-find loop oracle on an adversarial mix of long
+    chains and random unions."""
+    import time
+
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    rng = np.random.default_rng(11)
+    n = 2_000_000
+    # worst-case-ish: one long chain (diameter n) + random cross edges
+    chain_a = np.arange(0, n - 1, dtype=np.int64)
+    chain_b = chain_a + 1
+    ra = rng.integers(n, 4 * n, size=10_000_000 - (n - 1), dtype=np.int64)
+    rb = rng.integers(n, 4 * n, size=len(ra), dtype=np.int64)
+    pairs = pd.DataFrame(
+        {"a": np.concatenate([chain_a, ra]), "b": np.concatenate([chain_b, rb])}
+    )
+    t0 = time.perf_counter()
+    docs = pa.table(
+        {
+            "doc_id": np.arange(0, 50_000, dtype=np.int64),
+            "source": np.full(50_000, "s"),
+        }
+    )
+    got = (
+        dedup.neardup_clusters(rd.from_arrow(docs), pairs)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 120, f"10^7-pair resolution took {elapsed:.1f}s"
+    # the chain collapses to cluster 0 for every doc on it
+    on_chain = got[got.doc_id < n].cluster_id
+    assert (on_chain == 0).all()
+
+    # loop oracle on a small random graph
+    rng2 = np.random.default_rng(3)
+    sa = rng2.integers(0, 300, size=500, dtype=np.int64)
+    sb = rng2.integers(0, 300, size=500, dtype=np.int64)
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(sa.tolist(), sb.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    want = {x: find(x) for x in set(sa.tolist()) | set(sb.tolist())}
+    docs2 = pa.table(
+        {"doc_id": np.arange(0, 300, dtype=np.int64), "source": np.full(300, "s")}
+    )
+    got2 = (
+        dedup.neardup_clusters(rd.from_arrow(docs2), pd.DataFrame({"a": sa, "b": sb}))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for _, r in got2.iterrows():
+        assert int(r.cluster_id) == want.get(int(r.doc_id), int(r.doc_id))
+
+
 def test_ngram_jaccard_verify_matches_loop(docs_ds, docs_df):
     """The LSH→exact-verify composition: verified inter/union must equal
     a per-pair set computation on the raw texts."""
@@ -809,6 +874,40 @@ def test_semdedup_loop_oracle_and_invariance(ray_session):
 
     got2 = semdedup(ds.repartition(17), threshold=0.999999).to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
+    assert not got.truncated.any()  # under the cap: nothing clipped
+
+
+def test_semdedup_fat_cluster_cap(ray_session):
+    """Degenerate k-means (one fat cluster) stays bounded: rows beyond
+    max_cluster are flagged truncated, compute is O(n*cap) not O(n²),
+    and planted duplicates of a low-id head member are still dropped."""
+    from podcast_audio_feature_extraction_ray.stages.ann import semdedup
+
+    rng = np.random.default_rng(5)
+    n, d, cap = 500, 8, 64
+    base = rng.normal(size=d)
+    # all vectors share one dominant direction -> ONE cluster
+    E = base[None, :] + 0.01 * rng.normal(size=(n, d))
+    E[450] = E[10] * 2.0  # exact duplicate direction of a HEAD member
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                pa.array(E.reshape(-1), type=pa.float64()),
+            ),
+        }
+    )
+    got = (
+        semdedup(rd.from_arrow(tbl), threshold=0.999999, max_cluster=cap, n_centroids=1)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert got.truncated.sum() > 0  # the fat cluster was clipped
+    row = got[got.vec_id == 450].iloc[0]
+    assert not row.keep and row.truncated  # head peers still checked
+    # rows within the head are never truncated
+    assert not got[got.vec_id < cap].truncated.any()
 
 
 def test_global_order_index_layout_invariant(ray_session):
