@@ -239,6 +239,27 @@ def run_bench() -> dict:
     counts["big_windows"] = big.count()
     timings["big_windows"] = time.time() - t0
 
+    # --- asof_join: the MERGE-PATH as-of (scale path when events are too
+    # large to broadcast) over the same pruned windows — one tagged-union
+    # hash exchange, bucketed multi-key merge, hot keys auto-split (not
+    # part of the headline sum; recorded so the scale path has a number)
+    t0 = time.time()
+    bfj = asof.backfill_join(
+        rd.read_parquet(
+            os.path.join(out_root, "rows"),
+            columns=["doc_id", "source", "win_id", "ts_end"],
+        ),
+        rd.read_parquet(ev_path),
+        key=("doc_id", "source"),
+        batch_size=32768,
+        # no hot-split: the bucketed multi-key merge is vectorized, so a
+        # Zipf key only skews one bucket's sort; splitting (and its two
+        # discovery scans) pays off only when one key overflows a task
+        hot_threshold=None,
+    )
+    counts["asof_join"] = bfj.count()
+    timings["asof_join"] = time.time() - t0
+
     # --- model: heavy-state actor stage (weights np.load-ed once per
     # actor, one int64 matmul per batch) over the rows-path windows —
     # the compute-bound A2/A3 analog (not part of the headline sum)

@@ -198,22 +198,72 @@ def backfill_broadcast(
     )
 
 
-def _discover_hot_asof(windows_ds, key, cutoff_col, hot_threshold: int):
+def _discover_hot_asof(
+    windows_ds, key, cutoff_col, hot_threshold: int, sketch_buckets: int = 1 << 16
+):
     """Per-key (window count, max cutoff) for keys above ``hot_threshold``
-    windows: per-batch pandas partials -> small driver combine. Callers at
-    corpus scale should precompute this (e.g. from the session metadata)
-    and pass ``hot_index`` instead of paying a second windows pass."""
+    windows, via the segmenter's bucketed counting-sketch prefilter
+    (``segment.py`` hot-session discovery): pass 1 folds per-block
+    ``(bucket, count)`` partials — driver memory bounded by
+    ``sketch_buckets``, never by distinct keys — and pass 2 computes
+    exact per-key partials ONLY for rows whose key hashes into a
+    candidate bucket (actual hot keys + rare collisions). Callers at
+    corpus scale can still precompute this (e.g. from the session
+    metadata) and pass ``hot_index`` to skip both passes."""
+    from podcast_audio_feature_extraction_ray.stages.segment import _sum_runs
+
+    NB = sketch_buckets
+
+    def _buckets(batch: pa.Table) -> np.ndarray:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in key:
+            h ^= pd.util.hash_pandas_object(
+                batch[c].to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+        return (h % np.uint64(NB)).astype(np.int64)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        b, n = _sum_runs(_buckets(batch), np.ones(batch.num_rows, dtype=np.int64))
+        return pa.table({"bucket": pa.array(b), "n": pa.array(n)})
+
+    cols = list(key) + ([cutoff_col] if cutoff_col is not None else [])
+    meta = windows_ds.select_columns(
+        [c for c in windows_ds.schema().names if c in cols or c == "ts_end"]
+    )
+    bb = np.empty(0, dtype=np.int64)
+    nn = np.empty(0, dtype=np.int64)
+    for part in meta.map_batches(
+        sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        bb, nn = _sum_runs(
+            np.concatenate([bb, part["bucket"].to_numpy(zero_copy_only=False)]),
+            np.concatenate([nn, part["n"].to_numpy(zero_copy_only=False)]),
+        )
+    cand = np.sort(bb[nn > hot_threshold])
+    if not len(cand):
+        return {}
+    cand_ref = ray.put(cand)
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({c: batch[c].to_pandas() for c in key})
+        cand_s = ray.get(cand_ref)
+        b = _buckets(batch)
+        pos = np.clip(np.searchsorted(cand_s, b), 0, max(len(cand_s) - 1, 0))
+        m = cand_s[pos] == b
+        sel = pa.array(m)
+        df = pd.DataFrame({c: batch[c].filter(sel).to_pandas() for c in key})
         if cutoff_col is not None:
-            df["__t"] = batch[cutoff_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = batch[cutoff_col].to_numpy(zero_copy_only=False).astype(np.int64)
         else:
-            df["__t"] = _default_cutoff(batch)
+            t = _default_cutoff(batch)
+        df["__t"] = t[m]
         g = df.groupby(list(key), sort=False)["__t"].agg(["count", "max"]).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit types so empty and populated partials share one schema
+        out = {c: pa.array(g[c], type=batch.schema.field(c).type) for c in key}
+        out["count"] = pa.array(g["count"].to_numpy(dtype=np.int64, na_value=0))
+        out["max"] = pa.array(g["max"].to_numpy(dtype=np.int64, na_value=0))
+        return pa.table(out)
 
-    parts = windows_ds.map_batches(
+    parts = meta.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     g = parts.groupby(list(key)).agg(count=("count", "sum"), mx=("max", "max"))
@@ -235,17 +285,23 @@ def backfill_join(
     hot_threshold: int | None = None,
     hot_index: "dict | None" = None,
     chunk_rows: int = 65_536,
+    merge_buckets: int = 64,
 ):
     """Scale path: MERGE-PATH as-of join via tagged union + ONE hash shuffle.
 
     Arrow's hash join cannot carry list-typed payload columns (Ray 2.49 /
     pyarrow 16 limitation), so instead both sides are mapped to a common
     schema (events get null window-payload columns), unioned, hash-grouped
-    by key, and per group sorted by ``(t, event-first)``; a vectorized
-    ``maximum.accumulate`` forward-fills the last event onto every window
-    row. This is the north rule's "merge-path as-of join over
-    timestamp-sorted partitions": each key's rows meet exactly once, no
-    cross-product, list payloads ride the groupby shuffle untouched.
+    into ``merge_buckets`` KEY BUCKETS (Python cost O(buckets), never
+    O(keys) — ``map_groups`` per key would serialize on many-key
+    corpora), and per bucket sorted by ``(key…, t, event-first)``; a
+    segmented ``maximum.accumulate`` forward-fills the last event onto
+    every window row, with carried-over events from a neighboring key
+    automatically invalidated because their global sort position
+    precedes the key's first row. This is the north rule's "merge-path
+    as-of join over timestamp-sorted partitions": each key's rows meet
+    exactly once, no cross-product, list payloads ride the groupby
+    shuffle untouched.
 
     Hot-key splitting (the segmenter's tick-chunk pattern,
     ``segment.py``): keys whose window count exceeds ``hot_threshold``
@@ -298,6 +354,20 @@ def backfill_join(
         safe = np.where(hotr, pos, 0)
         return np.where(hotr, t // C_[safe], -1).astype(np.int64)
 
+    def _key_bucket(out: pa.Table) -> pa.Array:
+        h = np.zeros(out.num_rows, dtype=np.uint64)
+        for c in key:
+            h ^= pd.util.hash_pandas_object(
+                out[c].to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+        if hot_ref is not None:
+            # hot chunks must land in different buckets or the split
+            # buys nothing; mix the chunk id in
+            h ^= out["__c"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+        return pa.array((h % np.uint64(merge_buckets)).astype(np.int64))
+
     def tag_windows(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in key}
         if cutoff_col is not None:
@@ -312,7 +382,7 @@ def backfill_join(
         if hot_ref is not None:
             t = np.asarray(out["__t"].to_numpy(zero_copy_only=False), dtype=np.int64)
             out = out.append_column("__c", pa.array(_chunk_of(batch, t)))
-        return out
+        return out.append_column("__b", _key_bucket(out))
 
     def tag_events(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in key}
@@ -323,7 +393,7 @@ def backfill_join(
             cols[n_] = pa.nulls(batch.num_rows, type=t_)
         out = pa.table(cols)
         if hot_ref is None:
-            return out
+            return out.append_column("__b", _key_bucket(out))
         # duplicate each hot event into its own chunk and every later
         # chunk (events are the sparse side); cold events ride chunk -1
         hot_mi_, C_, nch_ = _ray.get(hot_ref)
@@ -343,7 +413,8 @@ def backfill_join(
             np.repeat(hotr, reps), np.repeat(own, reps) + within, -1
         ).astype(np.int64)
         out = out.take(pa.array(idx))
-        return out.append_column("__c", pa.array(ch))
+        out = out.append_column("__c", pa.array(ch))
+        return out.append_column("__b", _key_bucket(out))
 
     tagged = windows_ds.map_batches(
         tag_windows, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
@@ -353,24 +424,42 @@ def backfill_join(
         )
     )
 
+    seg_cols = list(key) + (["__c"] if hot_ref is not None else [])
+
     def merge(group: pa.Table) -> pa.Table:
-        # events sort BEFORE windows at equal t (ts <= cutoff is inclusive)
+        # ONE bucket holds many keys: sort by (key…, t, event-first) —
+        # events sort BEFORE windows at equal t (ts <= cutoff inclusive)
         order = pa.compute.sort_indices(
-            group.select(["__t", "__is_ev"]),
-            sort_keys=[("__t", "ascending"), ("__is_ev", "descending")],
+            group.select([*seg_cols, "__t", "__is_ev"]),
+            sort_keys=[(c, "ascending") for c in seg_cols]
+            + [("__t", "ascending"), ("__is_ev", "descending")],
         )
         g = group.take(order)
         isev = g["__is_ev"].to_numpy(zero_copy_only=False)
         t = g["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = g["__v"].to_numpy(zero_copy_only=False)
         n = len(t)
+        # key-segment boundaries via factorized codes (C-speed, works
+        # for string keys too)
+        neq = np.zeros(max(n - 1, 0), dtype=bool)
+        for c in seg_cols:
+            codes, _ = pd.factorize(g[c].to_pandas(), sort=False)
+            neq |= codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(np.concatenate([[True], neq]))
+        seg_id = np.zeros(n, dtype=np.int64)
+        seg_id[seg_first[1:]] = 1
+        np.cumsum(seg_id, out=seg_id)
+        seg_start_row = seg_first[seg_id]
+        # global cummax of event positions; an event carried over from a
+        # previous key sorts before this key's first row, so the
+        # `last >= segment start` check invalidates it for free
         ev_idx = np.where(isev, np.arange(n, dtype=np.int64), -1)
         last = np.maximum.accumulate(ev_idx)
         win_mask = ~isev
         last_w = last[win_mask]
-        ok = last_w >= 0
+        ok = last_w >= seg_start_row[win_mask]
         safe = np.where(ok, last_w, 0)
-        drop = ["__is_ev", "__v"] + (["__c"] if hot_ref is not None else [])
+        drop = ["__is_ev", "__v", "__b"] + (["__c"] if hot_ref is not None else [])
         out = g.filter(pa.array(win_mask)).drop_columns(drop)
         out = out.rename_columns(
             ["ts_cutoff" if c == "__t" else c for c in out.column_names]
@@ -379,8 +468,7 @@ def backfill_join(
         out = out.append_column("bf_ts", pa.array(t[safe], mask=~ok))
         return out
 
-    group_cols = list(key) + (["__c"] if hot_ref is not None else [])
-    return tagged.groupby(group_cols).map_groups(merge, batch_format="pyarrow")
+    return tagged.groupby("__b").map_groups(merge, batch_format="pyarrow")
 
 
 def range_count_broadcast(
