@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_training_sequences": q.pack_training_sequences,  # rows-only
         "model_score_windows": q.model_score_windows,
         "t3_scored_source": q.t3_scored_source,
+        "t3_bm25": q.t3_bm25,
         "j4_qrels_eval": q.j4_qrels_eval,
         "s12_dead_letter": q.s12_dead_letter,
         "vocab_topk": q.vocab_topk,

@@ -859,6 +859,20 @@ def session_window_rollup(sf_dir: str):
 
 
 T3_QUERIES = {0: 209, 1: 128, 2: 173}  # "the", "a", "of" token ids
+BM25_QUERIES = {0: [209, 173], 1: [128, 209], 2: [173, 128, 239]}  # multi-term
+
+
+def t3_bm25(sf_dir: str):
+    """T3 with a REAL lexical scorer: Okapi BM25 over the toy-tokenizer
+    terms (the self-contained replacement for the reference's external
+    ES ``multi_match`` + field boosts, ``src/search/search.py:174-214``):
+    per-term df / corpus stats from one bounded partial shuffle,
+    broadcast; scoring streams the corpus once with a local top-k prune;
+    int64-quantized contributions make the DuckDB oracle bit-exact."""
+    from podcast_audio_feature_extraction_ray.stages.text import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(docs, BM25_QUERIES, k=10)
 
 
 def t3_scored_source(sf_dir: str):

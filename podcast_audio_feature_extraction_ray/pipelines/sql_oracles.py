@@ -644,6 +644,64 @@ ranked AS (
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
+# BM25 constants interpolated from the SAME Python doubles the engine
+# computes at runtime (repr round-trips, DuckDB parses correctly-rounded
+# double literals) — the op sequence below mirrors stages/text.bm25_topk
+_K1 = 1.2
+_B = 0.75
+SQL["t3_bm25"] = f"""
+WITH tokb AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
+  FROM documents
+),
+q(query_id, term) AS (VALUES (0, 209), (0, 173), (1, 128), (1, 209), (2, 173), (2, 128), (2, 239)),
+stats AS (
+  SELECT cast(count(*) AS bigint) AS n_docs,
+         cast(sum(len(tokens)) AS bigint) AS total_toks
+  FROM tokb
+),
+terms AS (SELECT DISTINCT term FROM q),
+tft AS (
+  SELECT terms.term, t.doc_id, cast(len(t.tokens) AS bigint) AS dl,
+         cast(len(list_filter(t.tokens, x -> x = terms.term)) AS bigint) AS tf
+  FROM tokb t CROSS JOIN terms
+),
+dfq AS (
+  SELECT term, cast(count(*) FILTER (WHERE tf > 0) AS bigint) AS df
+  FROM tft GROUP BY term
+),
+contrib AS (
+  SELECT q.query_id, f.doc_id, f.tf,
+         cast(floor(
+           (((s.n_docs - d.df + cast(0.5 AS double)) / (d.df + cast(0.5 AS double)))
+            * (f.tf * cast({_K1 + 1.0!r} AS double))
+            / (f.tf + cast({_K1!r} AS double)
+               * (cast({1.0 - _B!r} AS double)
+                  + cast({_B!r} AS double)
+                    * (cast(f.dl AS double) * s.n_docs / s.total_toks))))
+           * cast(1048576.0 AS double)
+         ) AS bigint) AS c
+  FROM q
+  JOIN tft f ON f.term = q.term
+  JOIN dfq d ON d.term = q.term
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT query_id, doc_id, cast(sum(c) AS bigint) AS score_q, sum(tf) AS tf_tot
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_q,
+         cast(row_number() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, doc_id
+         ) AS bigint) AS rank
+  FROM perdoc WHERE tf_tot > 0
+)
+SELECT query_id, doc_id, score_q, rank FROM ranked WHERE rank <= 10
+"""
+
 SQL["langid_ngram_q"] = """
 WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
 sc AS (

@@ -398,3 +398,124 @@ def mix_sample(ds, rates: dict[str, float], default_rate: float = 1.0,
         return batch.filter(pa.array(b0 < lim))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_topk(
+    ds,
+    queries: dict[int, list[int]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1 << 20,
+):
+    """BM25 lexical scoring + top-k retrieval (the self-contained
+    replacement for the reference's external ES ``multi_match`` scorer,
+    ``src/search/search.py:174-214``): ``queries`` maps query_id -> list
+    of term token ids; each (query, doc) pair gets the Okapi BM25 score
+    over the toy-tokenizer terms, and the top ``k`` docs per query are
+    returned with ranks.
+
+    Scale shape: pass 1 computes per-term document frequencies and the
+    corpus (n_docs, total_tokens) as tiny per-batch partials folded by
+    ONE bounded groupby (rows <= |query terms| + 2 sentinels per batch);
+    the stats broadcast via ``ray.put``; pass 2 streams the corpus once,
+    scoring every query vectorized per batch, pruning to a local top-k
+    (score ties kept), and ONE per-query merge ranks the k survivors.
+    Nothing larger than (k-ish x batches x queries) rides the shuffle.
+
+    Exactness: per-term contributions are computed with a FIXED IEEE op
+    sequence from exact ints (rational idf ``(N-df+0.5)/(df+0.5)``, no
+    ``ln``), then quantized to an int64 grid of ``scale`` so per-doc
+    sums are order-free — the DuckDB oracle matches bit-for-bit.
+    ``score_q = sum_t floor(idf_t * (tf*(k1+1)) / (tf + k1*(1-b+b*dl*N/T)) * scale)``.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from podcast_audio_feature_extraction_ray.functions import scalar
+
+    terms = np.unique(np.concatenate([np.asarray(v, np.int64) for v in queries.values()]))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        vals, offs = scalar.word_tokens_arrow(batch[text_col])
+        t64 = vals.astype(np.int64)
+        out_t = [np.array([-1, -2], dtype=np.int64)]
+        out_n = [np.array([batch.num_rows, len(t64)], dtype=np.int64)]
+        for term in terms:
+            eq = (t64 == term).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(eq)])
+            tf = cs[offs[1:]] - cs[offs[:-1]]
+            out_t.append(np.array([term], dtype=np.int64))
+            out_n.append(np.array([int((tf > 0).sum())], dtype=np.int64))
+        return pa.table(
+            {"term": pa.array(np.concatenate(out_t)),
+             "n": pa.array(np.concatenate(out_n))}
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lut = dict(zip(stats["term"].astype(np.int64), stats["n"].astype(np.int64)))
+    n_docs = int(lut[-1])
+    total_toks = int(lut[-2])
+    df_arr = np.array([int(lut.get(int(t), 0)) for t in terms], dtype=np.int64)
+    stats_ref = ray.put((terms, df_arr, n_docs, total_toks))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_s, df_s, N, T = ray.get(stats_ref)
+        vals, offs = scalar.word_tokens_arrow(batch[text_col])
+        t64 = vals.astype(np.int64)
+        dl = np.diff(offs).astype(np.int64)
+        doc = batch[id_col].to_numpy(zero_copy_only=False)
+        # per-doc length norm: fixed op sequence (see docstring)
+        norm = (1.0 - b) + b * (dl.astype(np.float64) * N / T)
+        tf_by_term: dict[int, np.ndarray] = {}
+        for ti, term in enumerate(terms_s):
+            eq = (t64 == term).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(eq)])
+            tf_by_term[int(term)] = cs[offs[1:]] - cs[offs[:-1]]
+        qs, ds_, sc_ = [], [], []
+        for qid, qterms in queries.items():
+            score_q = np.zeros(batch.num_rows, dtype=np.int64)
+            any_tf = np.zeros(batch.num_rows, dtype=np.int64)
+            for term in qterms:
+                ti = int(np.searchsorted(terms_s, term))
+                df = int(df_s[ti])
+                tf = tf_by_term[int(term)]
+                any_tf += tf
+                idf = (N - df + 0.5) / (df + 0.5)
+                tff = tf.astype(np.float64)
+                contrib = idf * (tff * (k1 + 1.0)) / (tff + k1 * norm)
+                score_q += np.floor(contrib * float(scale)).astype(np.int64)
+            nz = np.flatnonzero(any_tf > 0)
+            if len(nz) > k:  # keep ties at the cut (exact global order)
+                kth = -np.partition(-score_q[nz], k - 1)[k - 1]
+                nz = nz[score_q[nz] >= kth]
+            qs.append(np.full(len(nz), qid, dtype=np.int64))
+            ds_.append(doc[nz])
+            sc_.append(score_q[nz])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qs)),
+                id_col: pa.array(np.concatenate(ds_)),
+                "score_q": pa.array(np.concatenate(sc_)),
+            }
+        )
+
+    import pandas as pd
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["score_q", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1000,3 +1000,49 @@ def test_dup_span_hashed_matches_word_oracle(ray_session, docs_ds, docs_df):
     )
     got = sorted(zip(hashed.n_docs, hashed.n_occurrences))
     assert got == want
+
+
+def test_bm25_matches_loop_oracle(ray_session):
+    """bm25_topk: quantized Okapi BM25 equals a per-doc Python loop."""
+    import math
+
+    from podcast_audio_feature_extraction_ray.stages.text import bm25_topk
+
+    texts = [
+        "the quick fox of the hill",
+        "a fox",
+        "the the the of of a",
+        "nothing relevant here",
+        "of a the fox fox fox",
+    ]
+    docs = pa.table({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
+    tok = lambda w: len(w) * 31 + ord(w[0])
+    queries = {0: [tok("the"), tok("of")], 1: [tok("a")]}
+    got = (
+        bm25_topk(rd.from_arrow(docs), queries, k=3)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    toks = [[tok(w) for w in t.split(" ")] for t in texts]
+    N = len(toks)
+    T = sum(len(t) for t in toks)
+    want = {}
+    for qid, qterms in queries.items():
+        scores = {}
+        for d, tk in enumerate(toks):
+            dl = len(tk)
+            s, anytf = 0, 0
+            for term in qterms:
+                tf = tk.count(term)
+                anytf += tf
+                df = sum(1 for t2 in toks if term in t2)
+                idf = (N - df + 0.5) / (df + 0.5)
+                c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (float(dl) * N / T)))
+                s += math.floor(c * 1048576.0)
+            if anytf > 0:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want[qid] = top
+    for qid, top in want.items():
+        g = got[got.query_id == qid]
+        assert list(zip(g.doc_id, g.score_q)) == top
+        assert list(g["rank"]) == list(range(1, len(top) + 1))
