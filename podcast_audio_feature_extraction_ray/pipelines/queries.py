@@ -42,27 +42,12 @@ def _tokens(sf_dir: str):
 # ---------------------------------------------------------------- W1/W2/W3
 
 def w1_frame_windows(sf_dir: str):
-    """W1: stateless fixed-stride frames, zero shuffle
-    (reference ``data/custom_FrameModeFunctionals.conf.inc:8-11``)."""
-    return seg.segment_rows(_tokens(sf_dir), FRAME_Q).select_columns(WIN_COLS)
-
-
-def w2_chunked_frame_windows(sf_dir: str):
-    """W2: chunked streaming with hop-aligned cuts + bounded lookahead —
-    identical output to W1 (reference ``src/features/YAMNetExtractor.py:78-95``)."""
-    return seg.segment_sessions(
-        _tokens(sf_dir), FRAME_Q, chunk_ticks=64, impl="groups"
-    ).select_columns(WIN_COLS)
-
-
-def w2b_sidechannel_sessions(sf_dir: str):
-    """W2 on the zero-copy side-channel exchange (``payload="sidechannel"``,
-    ``stages/segment.py``): token values stay in the object store and only
-    pointer metadata rides the sort — output must be bit-identical to W1,
-    hash-verified against the same SQL oracle."""
-    return seg.segment_sessions(
-        _tokens(sf_dir), FRAME_Q, payload="sidechannel", num_buckets=32
-    ).select_columns(WIN_COLS)
+    """W1: stateless fixed-stride frames, zero shuffle, with bounded
+    lag/lead context slices (the W2 lookahead generalized; reference
+    ``data/custom_FrameModeFunctionals.conf.inc:8-11`` +
+    ``src/features/YAMNetExtractor.py:78-95``)."""
+    out = seg.segment_rows(_tokens(sf_dir), FRAME_Q, lag=8, lead=8)
+    return out.select_columns(WIN_COLS + ["lag_tokens", "lead_tokens"])
 
 
 def w2c_blockref_sessions(sf_dir: str):
@@ -100,12 +85,6 @@ def g_window_aggs(sf_dir: str):
     )
 
 
-def lag_lead_windows(sf_dir: str):
-    """Lag/lead bounded context slices (W2 lookahead generalized)."""
-    out = seg.segment_rows(_tokens(sf_dir), FRAME_Q, lag=8, lead=8)
-    return out.select_columns(WIN_COLS + ["lag_tokens", "lead_tokens"])
-
-
 # ---------------------------------------------------------------- as-of / sessionize
 
 def asof_backfill_events(sf_dir: str):
@@ -132,7 +111,18 @@ def asof_backfill_events(sf_dir: str):
         purchases, clicks, key=("user_id",), ts_col="ts_us", value_col="value",
         cutoff_col="ts_us",
     )
-    return out.select_columns(["event_id", "user_id", "ts_us", "bf_value", "bf_ts"])
+
+    def fill(batch: pa.Table) -> pa.Table:
+        # M8 fillna over the join's nullable output
+        # (reference ``src/search/search.py:162``)
+        return batch.append_column(
+            "bf_value_filled", pc.fill_null(batch["bf_value"], 0.0)
+        )
+
+    out = out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(
+        ["event_id", "user_id", "ts_us", "bf_value", "bf_ts", "bf_value_filled"]
+    )
 
 
 def sessionize_events_q(sf_dir: str):
@@ -220,9 +210,11 @@ def t4_stride_sample(sf_dir: str):
 
 # ---------------------------------------------------------------- scalar fns
 
-def s3_shard_key(sf_dir: str):
-    """S3 path shard-key derivation (reference ``src/data.py:16-23``)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+def scalar_functions(sf_dir: str):
+    """The S3/M9 scalar-function family in ONE scan: shard-path
+    derivation (reference ``src/data.py:16-23``) and segment-id
+    format/parse round-trip (reference ``src/search/search.py:293-299``)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
 
     def f(batch: pa.Table) -> pa.Table:
         prefix = pc.binary_join_element_wise(
@@ -230,18 +222,6 @@ def s3_shard_key(sf_dir: str):
             pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 6, "0"),
             "_",
         )
-        return pa.table(
-            {"doc_id": batch["doc_id"], "shard_path": scalar.shard_key(prefix)}
-        )
-
-    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def m9_parse_segment_id(sf_dir: str):
-    """M9 id round-trip (reference ``src/search/search.py:293-299``)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-
-    def f(batch: pa.Table) -> pa.Table:
         base = pc.binary_join_element_wise(
             pa.array(["spotify:doc"] * batch.num_rows),
             pc.cast(batch["doc_id"], pa.string()),
@@ -249,7 +229,15 @@ def m9_parse_segment_id(sf_dir: str):
         )
         seg_id = scalar.format_segment_id(base, batch["n_chars"])
         uri, start = scalar.parse_segment_id(seg_id)
-        return pa.table({"seg_id": seg_id, "uri": uri, "seg_start": start})
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shard_path": scalar.shard_key(prefix),
+                "seg_id": seg_id,
+                "uri": uri,
+                "seg_start": start,
+            }
+        )
 
     return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -297,45 +285,27 @@ def _grouped_cents_stats(sf_dir: str):
     )
 
 
-def g6_debate_metric(sf_dir: str):
-    """G6 composite grouped metric (reference ``src/search/metrics.py:33-43``)."""
+def g6_g7_metrics(sf_dir: str):
+    """G6 + G7 composite grouped metrics in ONE pass over the shared
+    integer-cents combiner stats (reference ``src/search/metrics.py:33-57``)."""
     stats = _grouped_cents_stats(sf_dir)
 
     def final(batch: pa.Table) -> pa.Table:
         s = batch["sum_cents"].to_numpy().astype(np.int64)
         s2 = batch["sumsq_cents"].to_numpy().astype(np.int64)
         mx = batch["max_cents"].to_numpy().astype(np.int64)
-        n = batch["n_orders"].to_numpy().astype(np.int64)
-        mean = s / n
-        std = np.sqrt(np.maximum(s2 / n - mean * mean, 0.0))
-        m = std / 142.52017 + 12.0 * mx / 0.0155821005
-        return pa.table(
-            {
-                "o_custkey": batch["o_custkey"],
-                "n_orders": pa.array(n),
-                "debate_metric": pa.array(m),
-            }
-        )
-
-    return stats.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def g7_disapproval_metric(sf_dir: str):
-    """G7 composite grouped metric (reference ``src/search/metrics.py:46-57``)."""
-    stats = _grouped_cents_stats(sf_dir)
-
-    def final(batch: pa.Table) -> pa.Table:
-        s = batch["sum_cents"].to_numpy().astype(np.int64)
-        mx = batch["max_cents"].to_numpy().astype(np.int64)
         mn = batch["min_cents"].to_numpy().astype(np.int64)
         n = batch["n_orders"].to_numpy().astype(np.int64)
         mean = s / n
-        m = 2.0 * mean / 0.8239882 + mx / 556.0259 + mn / 1586.24
+        std = np.sqrt(np.maximum(s2 / n - mean * mean, 0.0))
+        debate = std / 142.52017 + 12.0 * mx / 0.0155821005
+        disapproval = 2.0 * mean / 0.8239882 + mx / 556.0259 + mn / 1586.24
         return pa.table(
             {
                 "o_custkey": batch["o_custkey"],
                 "n_orders": pa.array(n),
-                "disapproval_metric": pa.array(m),
+                "debate_metric": pa.array(debate),
+                "disapproval_metric": pa.array(disapproval),
             }
         )
 
@@ -437,12 +407,19 @@ def dedup_ngram_jaccard(sf_dir: str):
 
 
 def dedup_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup candidates (rows-only: banding is not
-    SQL-expressible; conformance via the loop oracle in tests)."""
+    """The full MinHash+LSH near-dup pipeline, end to end: banded LSH
+    candidates (recall) → exact n-gram Jaccard verification (precision)
+    → cluster resolution → per-doc (cluster_id, keep). Rows-only (LSH
+    banding and transitive closure aren't SQL-expressible); every stage
+    is loop-oracle tested in tests/test_trainops.py."""
     from podcast_audio_feature_extraction_ray.stages import dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.minhash_lsh_pairs(docs, est_threshold=0.5)
+    docs = _docs(sf_dir)
+    cands = dedup.minhash_lsh_pairs(docs, est_threshold=0.3).to_pandas()
+    ver = dedup.ngram_jaccard_verify(_docs(sf_dir), cands).to_pandas()
+    passing = ver[5 * ver["inter_n"] >= 1 * ver["union_n"]][["a", "b"]]
+    docs2 = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return dedup.neardup_clusters(docs2, passing)
 
 
 def dedup_simhash(sf_dir: str):
@@ -572,39 +549,44 @@ def multimodal_frame_sample(sf_dir: str):
 def s4_json_extract(sf_dir: str):
     """S4 JSON tree navigation analog (reference ``src/data.py:50-62``):
     pull ``k`` out of the events ``props`` JSON column (regex kernel —
-    identical RE2 semantics in Arrow and DuckDB)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    identical RE2 semantics in Arrow and DuckDB), plus the M2 numeric
+    normalize map (reference stereo→mono + /32768.0,
+    ``src/features/YAMNetExtractor.py:70``) in the same scan."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props", "value"]
+    )
 
     def f(batch: pa.Table) -> pa.Table:
         ex = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
         k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
-        return pa.table({"event_id": batch["event_id"], "k": k})
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "k": k,
+                "norm_value": pc.divide(batch["value"], pa.scalar(32768.0)),
+            }
+        )
 
     return ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def m8_fillna(sf_dir: str):
-    """M8 fillna(0.0) over the as-of join's nullable outputs
-    (reference ``src/search/search.py:162``)."""
-    out = asof_backfill_events(sf_dir)
-
-    def f(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_id": batch["event_id"],
-                "user_id": batch["user_id"],
-                "bf_value": pc.fill_null(batch["bf_value"], 0.0),
-            }
-        )
-
-    return out.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-
-
 def w4_point_lookup(sf_dir: str):
-    """W4 ranged window fetch: re-derive one window from (entity,
-    start_tick) alone (reference ``src/search/search.py:301-353``)."""
+    """W4 ranged window fetch + J2 broadcast hash lookup in one scan:
+    re-derive one window from (entity, start_tick) alone (reference
+    ``src/search/search.py:301-353``) and attach per-doc metadata via a
+    broadcast sorted id→value array resolved with ONE vectorized
+    searchsorted per batch (reference ``src/search/search.py:296-298``)."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
     toks = _tokens(sf_dir)
     start, width = 16, 16
+    meta = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    mids = meta["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mvals = meta["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    morder = np.argsort(mids, kind="stable")
+    ref = _ray.put((mids[morder], mvals[morder]))
 
     def f(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch["doc_id"], pa.int64())
@@ -613,7 +595,8 @@ def w4_point_lookup(sf_dir: str):
         if b.num_rows == 0:
             return pa.table(
                 {"doc_id": pa.array([], type=pa.string()),
-                 "seg_tokens": pa.array([], type=pa.list_(pa.int32()))}
+                 "seg_tokens": pa.array([], type=pa.list_(pa.int32())),
+                 "n_chars": pa.array([], type=pa.int64())}
             )
         from podcast_audio_feature_extraction_ray.arrow_utils import list_buffers, list_array
         values, offsets = list_buffers(b["tokens"])
@@ -622,7 +605,18 @@ def w4_point_lookup(sf_dir: str):
         hi = np.minimum(start + width, lens)
         from podcast_audio_feature_extraction_ray.kernels import concat_ranges
         idx, out_off = concat_ranges(offsets[:-1] + lo, hi - lo)
-        return pa.table({"doc_id": b["doc_id"], "seg_tokens": list_array(values[idx], out_off)})
+        ids_s, vals_s = _ray.get(ref)
+        bi = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ids_s, bi), 0, max(len(ids_s) - 1, 0))
+        hit = ids_s[pos] == bi
+        nch = np.where(hit, vals_s[pos], -1)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "seg_tokens": list_array(values[idx], out_off),
+                "n_chars": pa.array(nch),
+            }
+        )
 
     return toks.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -723,22 +717,6 @@ def t5_resumable_roundtrip(sf_dir: str):
         return df
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-
-
-def m2_normalize(sf_dir: str):
-    """M2 numeric normalize map (reference stereo→mono + /32768.0,
-    ``src/features/YAMNetExtractor.py:70``)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
-
-    def f(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_id": batch["event_id"],
-                "norm_value": pc.divide(batch["value"], pa.scalar(32768.0)),
-            }
-        )
-
-    return ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def m7_mood_filter(sf_dir: str):
@@ -1145,6 +1123,17 @@ def langid_ngram_q(sf_dir: str):
     return langid_ngram(docs)
 
 
+def text_signals(sf_dir: str):
+    """The per-document text-analysis family in ONE scan: quality
+    counters, whitespace + regex token counts, and n-gram language ID
+    (folds the former lang_quality / token_count / langid_ngram_q
+    queries — one corpus read instead of three)."""
+    from podcast_audio_feature_extraction_ray.stages import text as t
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return t.text_signals(docs)
+
+
 def m3_clean_text(sf_dir: str):
     """M3 text-cleaning kernel (lower/strip/regex-replace; reference
     ``src/search/index.py:39-52`` ad & episode-number stripping)."""
@@ -1169,6 +1158,47 @@ def s11_json_roundtrip(sf_dir: str):
         return rd.read_json(out_dir).to_pandas()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def s11_format_roundtrips(sf_dir: str):
+    """S11 + S13 format coverage in ONE chain: a projection rides
+    JSON-lines (write → read) and then CSV (write → read); values must
+    still equal the source table after BOTH roundtrips (reference JSON
+    results sink ``src/search/search.py:485-488``; CSV is the sibling
+    source format). Empty-string text survives via
+    ``strings_can_be_null=False``."""
+    import shutil
+    import tempfile
+
+    from pyarrow import csv as _pcsv
+
+    root = tempfile.mkdtemp(prefix="tokwin_s11c_")
+    try:
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text", "n_chars"],
+        )
+        jdir, cdir = f"{root}/json", f"{root}/csv"
+        docs.write_json(jdir)
+        back_j = rd.read_json(jdir)
+        back_j.write_csv(cdir)
+        back = rd.read_csv(
+            cdir, convert_options=_pcsv.ConvertOptions(strings_can_be_null=False)
+        )
+
+        def shape(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "source": batch["source"].cast(pa.string()),
+                    "text": batch["text"].cast(pa.string()),
+                    "n_chars": batch["n_chars"].cast(pa.int64()),
+                }
+            )
+
+        return back.map_batches(shape, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def dedup_lsh_verified(sf_dir: str):

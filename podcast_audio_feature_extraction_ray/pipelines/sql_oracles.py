@@ -44,13 +44,16 @@ SQL = {}
 
 SQL["w1_frame_windows"] = f"""
 WITH {_TOK}, {_FRAME_WINDOWS}
-SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens FROM frame
+SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens,
+       tokens[greatest(ts_start - 8, 0) + 1 : ts_start] AS lag_tokens,
+       tokens[ts_end + 1 : least(ts_end + 8, L)] AS lead_tokens
+FROM frame
 """
 
-SQL["w2_chunked_frame_windows"] = SQL["w1_frame_windows"]
-
-SQL["w2b_sidechannel_sessions"] = SQL["w1_frame_windows"]
-SQL["w2c_blockref_sessions"] = SQL["w1_frame_windows"]
+SQL["w2c_blockref_sessions"] = f"""
+WITH {_TOK}, {_FRAME_WINDOWS}
+SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens FROM frame
+"""
 
 # segment windows: s = k*H for k in [0, ceil((L-1)/H)), inclusive ticks [s, s+W]
 SQL["w3_segment_windows"] = f"""
@@ -111,17 +114,11 @@ SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens,
 FROM fn
 """
 
-SQL["lag_lead_windows"] = f"""
-WITH {_TOK}, {_FRAME_WINDOWS}
-SELECT doc_id, source, win_id, ts_start, ts_end, seg_tokens,
-       tokens[greatest(ts_start - 8, 0) + 1 : ts_start] AS lag_tokens,
-       tokens[ts_end + 1 : least(ts_end + 8, L)] AS lead_tokens
-FROM frame
-"""
 
 SQL["asof_backfill_events"] = """
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-       c.value AS bf_value, epoch_us(c.ts) AS bf_ts
+       c.value AS bf_value, epoch_us(c.ts) AS bf_ts,
+       coalesce(c.value, 0.0) AS bf_value_filled
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -152,12 +149,6 @@ FROM orders
 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
 """
 
-SQL["t1_topk"] = """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 10
-"""
 
 SQL["t2_topk_backfill"] = """
 SELECT o_orderkey, o_totalprice, o_orderpriority
@@ -177,26 +168,7 @@ SELECT event_id, user_id, value
 FROM r WHERE rn <= 60 AND (rn - 1) % 5 = 0
 """
 
-SQL["s3_shard_key"] = """
-WITH p AS (
-  SELECT doc_id, 'show_' || lpad(cast(doc_id AS varchar), 6, '0') AS prefix
-  FROM documents
-)
-SELECT doc_id,
-       upper(substr(prefix, 6, 1)) || '/' || upper(substr(prefix, 7, 1)) || '/' || prefix AS shard_path
-FROM p
-"""
 
-SQL["m9_parse_segment_id"] = """
-WITH s AS (
-  SELECT 'spotify:doc:' || cast(doc_id AS varchar) || '_' || cast(n_chars AS varchar) AS seg_id
-  FROM documents
-)
-SELECT seg_id,
-       regexp_extract(seg_id, '^(.*)_([0-9]+)$', 1) AS uri,
-       cast(regexp_extract(seg_id, '^(.*)_([0-9]+)$', 2) AS bigint) AS seg_start
-FROM s
-"""
 
 _CENTS_STATS = """
 stats AS (
@@ -210,38 +182,9 @@ stats AS (
 )
 """
 
-SQL["g6_debate_metric"] = f"""
-WITH {_CENTS_STATS}
-SELECT o_custkey, n AS n_orders,
-       sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) / 142.52017
-         + 12.0 * mx / 0.0155821005 AS debate_metric
-FROM stats
-"""
 
-SQL["g7_disapproval_metric"] = f"""
-WITH {_CENTS_STATS}
-SELECT o_custkey, n AS n_orders,
-       2.0 * (s / n) / 0.8239882 + mx / 556.0259 + mn / 1586.24 AS disapproval_metric
-FROM stats
-"""
 
-SQL["g4_thresholded_freq"] = """
-SELECT l_orderkey,
-       cast(sum(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS bigint) AS freq_gt,
-       cast(sum(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS bigint) AS match_count,
-       cast(count(*) AS bigint) AS n_lines
-FROM lineitem
-GROUP BY l_orderkey
-"""
 
-SQL["q1_agg"] = """
-SELECT l_returnflag, l_linestatus,
-       cast(sum(cast(round(l_quantity * 100.0) AS bigint)) AS bigint) AS sum_qty_cents,
-       cast(sum(cast(round(l_extendedprice * 100.0) AS bigint)) AS bigint) AS sum_price_cents,
-       cast(count(*) AS bigint) AS n_rows
-FROM lineitem
-GROUP BY l_returnflag, l_linestatus
-"""
 
 SQL["dedup_exact"] = """
 SELECT md5(text) AS text_hash,
@@ -329,53 +272,86 @@ SELECT label, a, b, s_r FROM r WHERE rn <= 3
 
 _STOP_SQL = "('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by')"
 
-SQL["lang_quality"] = f"""
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+
+SQL["text_signals"] = r"""
+WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS s FROM documents),
 a AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          cast(len(s) AS bigint) AS n_words,
-         cast(len(list_filter(s, x -> x IN {_STOP_SQL})) AS bigint) AS n_stop,
+         cast(len(list_filter(s, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by'))) AS bigint) AS n_stop,
          cast(len(list_filter(s, x -> regexp_full_match(x, '[a-z]+'))) AS bigint) AS n_alpha,
          cast(list_aggregate(list_transform(s, x -> length(x)), 'sum') AS bigint) AS sum_len
   FROM w
+),
+lid AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         cast((length(t) - length(replace(t, ' th', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'the', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' an', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ing', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' of', ''))) / 3 AS bigint) AS s_en,
+         cast((length(t) - length(replace(t, 'der', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ein', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'sch', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' un', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ich', ''))) / 3 AS bigint) AS s_de,
+         cast((length(t) - length(replace(t, ' le', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'les', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' de', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ent', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'que', ''))) / 3 AS bigint) AS s_fr
+  FROM lid
 )
-SELECT doc_id, n_words, n_stop,
+SELECT a.doc_id, n_words, n_stop,
        n_stop / n_words AS stop_ratio,
        n_alpha,
        sum_len / n_words AS mean_word_len,
-       (n_stop / n_words) > 0.09 AS is_en
-FROM a
-"""
-
-SQL["token_count"] = r"""
-SELECT doc_id,
-       cast(len(string_split(text, ' ')) AS bigint) AS n_ws_tokens,
-       cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bigint) AS n_re_tokens
-FROM documents
+       (n_stop / n_words) > 0.09 AS is_en,
+       cast(len(string_split(a.text, ' ')) AS bigint) AS n_ws_tokens,
+       cast(len(regexp_extract_all(a.text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bigint) AS n_re_tokens,
+       s_en, s_de, s_fr,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en' WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang
+FROM a JOIN sc ON a.doc_id = sc.doc_id
 """
 
 SQL["s4_json_extract"] = """
 SELECT event_id,
-       cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint) AS k
+       cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint) AS k,
+       value / 32768.0 AS norm_value
 FROM events
 """
 
-SQL["m8_fillna"] = """
-SELECT p.event_id, p.user_id, coalesce(c.value, 0.0) AS bf_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+SQL["scalar_functions"] = """
+WITH p AS (
+  SELECT doc_id,
+         'show_' || lpad(cast(doc_id AS varchar), 6, '0') AS prefix,
+         'spotify:doc:' || cast(doc_id AS varchar) || '_' || cast(n_chars AS varchar) AS seg_id
+  FROM documents
+)
+SELECT doc_id,
+       upper(substr(prefix, 6, 1)) || '/' || upper(substr(prefix, 7, 1)) || '/' || prefix AS shard_path,
+       seg_id,
+       regexp_extract(seg_id, '^(.*)_([0-9]+)$', 1) AS uri,
+       cast(regexp_extract(seg_id, '^(.*)_([0-9]+)$', 2) AS bigint) AS seg_start
+FROM p
+"""
+
+SQL["g6_g7_metrics"] = f"""
+WITH {_CENTS_STATS}
+SELECT o_custkey, n AS n_orders,
+       sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) / 142.52017
+         + 12.0 * mx / 0.0155821005 AS debate_metric,
+       2.0 * (s / n) / 0.8239882 + mx / 556.0259 + mn / 1586.24 AS disapproval_metric
+FROM stats
+"""
+
+SQL["s11_format_roundtrips"] = """
+SELECT cast(doc_id AS bigint) AS doc_id, source, text, cast(n_chars AS bigint) AS n_chars
+FROM documents
 """
 
 SQL["w4_point_lookup"] = """
 WITH tok AS (
   SELECT cast(doc_id AS varchar) AS doc_id, doc_id AS id_num,
+         cast(n_chars AS bigint) AS n_chars,
          list_transform(string_split(text, ' '),
                         w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
   FROM documents
 )
 SELECT doc_id,
-       tokens[17 : least(32, len(tokens))] AS seg_tokens
+       tokens[17 : least(32, len(tokens))] AS seg_tokens,
+       n_chars
 FROM tok WHERE id_num % 8 = 0
 """
 
@@ -387,30 +363,13 @@ FROM documents
 GROUP BY source
 """
 
-SQL["j2_point_lookup"] = """
-SELECT doc_id, source, cast(n_chars AS bigint) AS n_chars FROM documents
-"""
 
 SQL["j5_hash_join"] = """
 SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
-SQL["sessionize_assemble"] = """
-WITH tok AS (
-  SELECT cast(doc_id AS varchar) AS doc_id, source,
-         cast(len(string_split(text, ' ')) AS bigint) AS n
-  FROM documents
-)
-SELECT doc_id, source,
-       cast(sum(n) AS bigint) AS n_tok,
-       cast(count(*) AS bigint) AS n_rows
-FROM tok GROUP BY doc_id, source
-"""
 
-SQL["m2_normalize"] = """
-SELECT event_id, value / 32768.0 AS norm_value FROM events
-"""
 
 SQL["m7_mood_filter"] = f"""
 WITH {_TOK}, {_FRAME_WINDOWS},
@@ -427,16 +386,6 @@ FROM agg
 WHERE tok_sum / n_tokens > 250.0 AND n_distinct < 15
 """
 
-SQL["tumbling_window_agg"] = """
-SELECT user_id,
-       (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
-       cast(count(*) AS bigint) AS n_events,
-       cast(sum(cast(round(value * 100.0) AS bigint)) AS bigint) AS sum_cents,
-       min(epoch_us(ts)) AS min_ts_us,
-       max(epoch_us(ts)) AS max_ts_us
-FROM events
-GROUP BY user_id, (epoch_us(ts) // 3600000000) * 3600000000
-"""
 
 SQL["hopping_window_agg"] = """
 WITH e AS (
@@ -458,10 +407,6 @@ FROM x
 GROUP BY user_id, j
 """
 
-SQL["distinct_values"] = """
-SELECT source, lang, cast(count(*) AS bigint) AS n_docs
-FROM documents GROUP BY source, lang
-"""
 
 SQL["range_join_count"] = """
 SELECT o.o_orderkey,
@@ -473,22 +418,6 @@ FROM orders o LEFT JOIN events e
 GROUP BY o.o_orderkey, epoch_us(o.o_orderdate)
 """
 
-SQL["session_window_rollup"] = f"""
-WITH {_TOK}, {_FRAME_WINDOWS},
-agg AS (
-  SELECT doc_id, source,
-         cast(len(seg_tokens) AS bigint) AS n_tokens,
-         cast(list_aggregate(list_transform(seg_tokens, x -> cast(x AS bigint)), 'sum') AS bigint) AS tok_sum,
-         cast(len(list_filter(seg_tokens, x -> x > 300)) AS bigint) AS freq_gt
-  FROM frame
-)
-SELECT doc_id, source,
-       cast(count(*) AS bigint) AS n_windows,
-       cast(sum(n_tokens) AS bigint) AS sum_window_tokens,
-       cast(sum(tok_sum) AS bigint) AS sum_tok_sum,
-       cast(sum(freq_gt) AS bigint) AS sum_freq_gt
-FROM agg GROUP BY doc_id, source
-"""
 
 SQL["train_test_split"] = """
 SELECT doc_id,
@@ -544,35 +473,11 @@ FROM logits
 
 SQL["model_score_windows"] = _model_score_sql()
 
-SQL["multimodal_decode"] = """
-SELECT doc_id,
-       'image/fake' AS media_type,
-       cast(16 + (doc_id * 7) % 48 AS bigint) AS width,
-       cast(16 + (doc_id * 13) % 32 AS bigint) AS height,
-       cast(1 + doc_id % 4 AS bigint) AS n_frames
-FROM documents
-"""
 
 # real-PNG decode: width/height from the size rule; pixel_sum recomputed
 # by summing the synthesized gradient (3x + 7y + doc_id%251) % 256 over
 # the image grid with two generate_series (exact integer math; the Ray
 # side sums the ACTUAL decoded pixels of a real zlib-compressed PNG)
-SQL["multimodal_png_decode"] = """
-WITH dims AS (
-  SELECT doc_id,
-         cast(16 + (doc_id * 7) % 48 AS bigint) AS width,
-         cast(16 + (doc_id * 13) % 32 AS bigint) AS height
-  FROM documents
-)
-SELECT d.doc_id, d.width, d.height,
-       cast(sum((3 * x.g + 7 * y.g + d.doc_id % 251) % 256) AS bigint)
-         AS pixel_sum
-FROM dims d
-CROSS JOIN generate_series(0, 63) x(g)
-CROSS JOIN generate_series(0, 47) y(g)
-WHERE x.g < d.width AND y.g < d.height
-GROUP BY d.doc_id, d.width, d.height
-"""
 
 # frame sampling over multi-frame motion-PNG payloads: sampled frames
 # are f in {0, 2} below n_frames = 1 + doc_id%4; pixel_sum recomputes
@@ -622,27 +527,7 @@ SELECT doc_id, clean_text,
 FROM c
 """
 
-SQL["s11_json_roundtrip"] = """
-SELECT doc_id, source FROM documents
-"""
 
-SQL["t3_scored_source"] = f"""
-WITH {_TOK},
-q(query_id, term) AS (VALUES (0, 209), (1, 128), (2, 173)),
-counts AS (
-  SELECT q.query_id, t.doc_id,
-         cast(len(list_filter(t.tokens, x -> x = q.term)) AS bigint) AS score
-  FROM tok t CROSS JOIN q
-),
-ranked AS (
-  SELECT query_id, doc_id, score,
-         cast(row_number() OVER (
-           PARTITION BY query_id ORDER BY score DESC, doc_id
-         ) AS bigint) AS rank
-  FROM counts WHERE score > 0
-)
-SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
-"""
 
 # BM25 constants interpolated from the SAME Python doubles the engine
 # computes at runtime (repr round-trips, DuckDB parses correctly-rounded
@@ -702,19 +587,6 @@ ranked AS (
 SELECT query_id, doc_id, score_q, rank FROM ranked WHERE rank <= 10
 """
 
-SQL["langid_ngram_q"] = """
-WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
-sc AS (
-  SELECT doc_id,
-         cast((length(t) - length(replace(t, ' th', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'the', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' an', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ing', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' of', ''))) / 3 AS bigint) AS s_en,
-         cast((length(t) - length(replace(t, 'der', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ein', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'sch', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' un', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ich', ''))) / 3 AS bigint) AS s_de,
-         cast((length(t) - length(replace(t, ' le', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'les', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, ' de', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'ent', ''))) / 3 AS bigint) + cast((length(t) - length(replace(t, 'que', ''))) / 3 AS bigint) AS s_fr
-  FROM low
-)
-SELECT doc_id, s_en, s_de, s_fr,
-       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en' WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang
-FROM sc
-"""
 
 SQL["j4_qrels_eval"] = f"""
 WITH {_TOK},
@@ -753,20 +625,6 @@ SELECT event_id,
 FROM events WHERE event_id % 97 <> 13
 """
 
-SQL["vocab_topk"] = f"""
-WITH {_TOK},
-flat AS (SELECT unnest(tokens) AS token FROM tok),
-cnt AS (
-  SELECT cast(token AS bigint) AS token, cast(count(*) AS bigint) AS n_occurrences
-  FROM flat GROUP BY token
-),
-ranked AS (
-  SELECT token, n_occurrences,
-         cast(row_number() OVER (ORDER BY n_occurrences DESC, token) AS bigint) AS rank
-  FROM cnt
-)
-SELECT token, n_occurrences, rank FROM ranked WHERE rank <= 50
-"""
 
 SQL["contamination_check_q"] = """
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -795,26 +653,6 @@ SELECT doc_id, source, cast(count(*) AS bigint) AS n_tok,
 FROM flat GROUP BY doc_id, source
 """
 
-SQL["quality_filter"] = """
-WITH w AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
-),
-q AS (
-  SELECT doc_id,
-         cast(len(words) AS bigint) AS n_words,
-         cast(len(list_filter(words, x -> x IN
-           ('the','a','an','and','or','of','to','in','is','are','was','were',
-            'be','been','it','this','that','for','on','with','as','at','by'))) AS bigint) AS n_stop,
-         cast(list_aggregate(list_transform(words, x -> cast(length(x) AS bigint)), 'sum') AS bigint) AS sum_len
-  FROM w
-)
-SELECT doc_id, n_words,
-       n_stop / n_words AS stop_ratio,
-       sum_len / n_words AS mean_word_len
-FROM q
-WHERE n_stop / n_words > 0.09 AND n_words >= 50
-  AND sum_len / n_words >= 3.0 AND sum_len / n_words <= 12.0
-"""
 
 SQL["repetition_signals_q"] = """
 WITH tok AS (
@@ -862,29 +700,6 @@ FROM btop b JOIN tdup d USING (doc_id)
 WHERE b.rk = 1
 """
 
-SQL["tfidf_top_terms"] = """
-WITH tok AS (
-  SELECT cast(doc_id AS varchar) AS doc_id, source,
-         list_transform(string_split(text, ' '),
-                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
-  FROM documents
-),
-t AS (SELECT doc_id, source, cast(unnest(tokens) AS bigint) AS token FROM tok),
-tf AS (SELECT source, token, cast(count(*) AS bigint) AS tf FROM t GROUP BY 1, 2),
-df AS (SELECT token, cast(count(DISTINCT doc_id) AS bigint) AS df FROM t GROUP BY 1),
-n AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
-scored AS (
-  SELECT tf.source, tf.token, tf.tf, df.df,
-         cast(tf.tf * n.n AS double) / cast(df.df AS double) AS tfidf
-  FROM tf JOIN df USING (token) CROSS JOIN n
-),
-rk AS (
-  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, token) AS r
-  FROM scored
-)
-SELECT source, token, tf, df, tfidf, cast(r AS bigint) AS rank
-FROM rk WHERE r <= 10
-"""
 
 SQL["audio_frame_energy"] = """
 WITH syn AS (
@@ -988,20 +803,7 @@ WHERE cast(w.cum AS double) >= ceil(p.pct * cast(w.tot AS double) / 100.0)
 GROUP BY 1, 2
 """
 
-SQL["mix_sample_q"] = """
-SELECT cast(doc_id AS varchar) AS doc_id, source
-FROM documents
-WHERE CASE source
-  WHEN 'src0' THEN TRUE
-  WHEN 'src1' THEN substr(md5(cast(doc_id AS varchar)), 1, 2) < '10'
-  ELSE substr(md5(cast(doc_id AS varchar)), 1, 2) < '40'
-END
-"""
 
-SQL["s13_csv_roundtrip"] = """
-SELECT cast(doc_id AS bigint) AS doc_id, text, cast(n_chars AS bigint) AS n_chars
-FROM documents
-"""
 
 SQL["ordered_export"] = """
 SELECT doc_id, cast(n_chars AS int) AS n_chars,

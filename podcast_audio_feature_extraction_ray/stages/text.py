@@ -115,36 +115,81 @@ LANG_PROFILES = {
 }
 
 
+def langid_arrays(txt) -> dict[str, np.ndarray | object]:
+    """Shared language-ID kernel: per-language trigram-profile scores +
+    first-of-max language label (Arrow substring kernels, zero per-row
+    Python). Returns ``{"s_en": ..., "s_de": ..., "s_fr": ..., "lang": pa.Array}``."""
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.utf8_lower(pc.fill_null(txt, ""))
+    scores = {}
+    for lang, grams in LANG_PROFILES.items():
+        tot = np.zeros(len(txt), dtype=np.int64)
+        for g in grams:
+            tot += (
+                pc.count_substring(txt, g)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+        scores[lang] = tot
+    langs = list(LANG_PROFILES)
+    mat = np.stack([scores[l] for l in langs], axis=1)
+    best = np.argmax(mat, axis=1)  # first-of-max
+    out: dict = {f"s_{l}": scores[l] for l in langs}
+    out["lang"] = pa.array(np.array(langs, dtype=object)[best], type=pa.string())
+    return out
+
+
 def langid_ngram(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Language-ID by char-n-gram profile scoring: per-language score =
     total count of that profile's signature trigrams (non-overlapping,
     matching DuckDB ``replace``-based counting), lang = first-of-max in
-    profile order. All Arrow substring kernels, zero per-row Python.
-    Columns: s_en, s_de, s_fr, lang."""
+    profile order. Columns: s_en, s_de, s_fr, lang."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        la = langid_arrays(batch[text_col])
+        out = {id_col: batch[id_col]}
+        for k in ("s_en", "s_de", "s_fr"):
+            out[k] = pa.array(la[k])
+        out["lang"] = la["lang"]
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def text_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """The full per-document text-analysis family in ONE scan: quality
+    counters (``lang_quality``), whitespace + BPE-ish regex token counts
+    (``token_count``) and n-gram language-ID (``langid_ngram``) — a user
+    running the text-quality stage gets every signal without re-reading
+    the corpus. Columns are the union of the three stages'."""
 
     def fn(batch: pa.Table) -> pa.Table:
         txt = batch[text_col]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
-        txt = pc.utf8_lower(pc.fill_null(txt, ""))
-        scores = {}
-        for lang, grams in LANG_PROFILES.items():
-            tot = np.zeros(len(txt), dtype=np.int64)
-            for g in grams:
-                tot += (
-                    pc.count_substring(txt, g)
-                    .cast(pa.int64())
-                    .to_numpy(zero_copy_only=False)
-                )
-            scores[lang] = tot
-        langs = list(LANG_PROFILES)
-        mat = np.stack([scores[l] for l in langs], axis=1)
-        best = np.argmax(mat, axis=1)  # first-of-max
-        out = {id_col: batch[id_col]}
-        for l in langs:
-            out[f"s_{l}"] = pa.array(scores[l])
-        out["lang"] = pa.array(np.array(langs, dtype=object)[best], type=pa.string())
-        return pa.table(out)
+        qa = quality_arrays(txt)
+        n_words, n_stop = qa["n_words"], qa["n_stop"]
+        stop_ratio = n_stop / n_words
+        mean_word_len = qa["sum_len"] / n_words
+        la = langid_arrays(txt)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words),
+                "n_stop": pa.array(n_stop),
+                "stop_ratio": pa.array(stop_ratio),
+                "n_alpha": pa.array(qa["n_alpha"]),
+                "mean_word_len": pa.array(mean_word_len),
+                "is_en": pa.array(stop_ratio > 0.09),
+                "n_ws_tokens": pc.list_value_length(pc.split_pattern(txt, " ")).cast(pa.int64()),
+                "n_re_tokens": pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64()),
+                "s_en": pa.array(la["s_en"]),
+                "s_de": pa.array(la["s_de"]),
+                "s_fr": pa.array(la["s_fr"]),
+                "lang": la["lang"],
+            }
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

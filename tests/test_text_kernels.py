@@ -187,9 +187,32 @@ def test_tfidf_alignment_on_crafted_batch(ray_session):
         con.execute(
             f"CREATE VIEW documents AS SELECT * FROM '{td}/documents.parquet'"
         )
-        from podcast_audio_feature_extraction_ray.pipelines.sql_oracles import SQL
-
-        want = con.execute(SQL["tfidf_top_terms"]).df()
+        # SQL oracle inlined here (the query left the driver catalog when
+        # it was consolidated to 50 entries; conformance lives on in this test)
+        tfidf_sql = """
+WITH tok AS (
+  SELECT cast(doc_id AS varchar) AS doc_id, source,
+         list_transform(string_split(text, ' '),
+                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
+  FROM documents
+),
+t AS (SELECT doc_id, source, cast(unnest(tokens) AS bigint) AS token FROM tok),
+tf AS (SELECT source, token, cast(count(*) AS bigint) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT token, cast(count(DISTINCT doc_id) AS bigint) AS df FROM t GROUP BY 1),
+n AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.token, tf.tf, df.df,
+         cast(tf.tf * n.n AS double) / cast(df.df AS double) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, token) AS r
+  FROM scored
+)
+SELECT source, token, tf, df, tfidf, cast(r AS bigint) AS rank
+FROM rk WHERE r <= 10
+"""
+        want = con.execute(tfidf_sql).df()
         g = got.sort_values(["source", "rank"]).reset_index(drop=True)
         w = want.sort_values(["source", "rank"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(

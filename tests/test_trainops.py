@@ -1046,3 +1046,18 @@ def test_bm25_matches_loop_oracle(ray_session):
         g = got[got.query_id == qid]
         assert list(zip(g.doc_id, g.score_q)) == top
         assert list(g["rank"]) == list(range(1, len(top) + 1))
+
+
+def test_top_k_matches_sorted_head(ray_session):
+    """T1 plain top-k (its catalog entry folded into t2_topk_backfill):
+    per-batch prune + global sort equals sorted-head on any layout."""
+    from podcast_audio_feature_extraction_ray.stages.topk import top_k
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"id": np.arange(5000, dtype=np.int64),
+         "score": rng.integers(0, 400, 5000).astype(np.int64)}
+    )
+    got = top_k(rd.from_pandas(df).repartition(13), "score", 10, tiebreak=["id"]).to_pandas()
+    want = df.sort_values(["score", "id"], ascending=[False, True]).head(10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "score"]].reset_index(drop=True), want[["id", "score"]])
