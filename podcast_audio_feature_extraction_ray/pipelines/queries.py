@@ -933,6 +933,9 @@ def j4_qrels_eval(sf_dir: str):
         toks.map_batches(qrels_batch, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
     )
+    # TODO(scale): set-membership loop is bounded by |run| = 10 per query
+    # (eval-sized by construction); a sorted-array searchsorted would be
+    # the vectorized form if runs ever grow
     rel_set = set(zip(qrels.query_id, qrels.doc_id))
     hits = np.array(
         [(q, d) in rel_set for q, d in zip(results.query_id, results.doc_id)],

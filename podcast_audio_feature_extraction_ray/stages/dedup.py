@@ -43,6 +43,9 @@ from podcast_audio_feature_extraction_ray import hashing
 
 
 def _md5_hex(texts) -> list[str]:
+    # per-row C-speed hashlib call, kept for DuckDB md5() oracle parity;
+    # TODO(scale): a vectorized 128-bit hash would shave the Python loop,
+    # but the digest must stay md5 or the SQL oracle stops matching
     return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
 
 
