@@ -298,3 +298,31 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
     x = np.ascontiguousarray(x, dtype=np.uint64)
     return _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int64)
+
+
+def combined_key_hash(columns) -> np.ndarray:
+    """ONE stable per-row uint64 over multi-column keys, for exchange /
+    sketch bucketing (``stages/segment.py`` session exchange + hot-key
+    sketch, ``stages/asof.py`` merge buckets + hot discovery — keep them
+    on this single helper so the combine can never diverge between the
+    stages that must agree on it).
+
+    ``columns`` is an iterable of pandas Series (one per key column);
+    hashes come from ``pd.util.hash_pandas_object`` (stable across
+    processes and nodes). The combine rotates the accumulator before the
+    XOR so keys whose columns hold EQUAL values don't all collapse onto
+    one bucket the way a plain XOR combine would (x ^ x == 0). Bucket
+    ids derived from this are grouping fan-out only — no oracle depends
+    on the assignment.
+    """
+    import pandas as pd
+
+    h: np.ndarray | None = None
+    for col in columns:
+        ch = pd.util.hash_pandas_object(col, index=False).to_numpy(dtype=np.uint64)
+        if h is None:
+            h = ch.copy()
+        else:
+            h = ((h << np.uint64(13)) | (h >> np.uint64(51))) ^ ch
+    assert h is not None, "combined_key_hash needs at least one key column"
+    return h

@@ -436,6 +436,12 @@ def window_aggregates(
     out["tok_max"] = np.maximum.reduceat(v, starts)
     out["tok_min"] = np.minimum.reduceat(v, starts)
 
+    # ONE lexsort by (window, value) feeds both the percentile gather
+    # (functionals) and the distinct count — it is the dominant
+    # O(N log N) cost of this kernel, so it must not run twice
+    order = np.lexsort((v, win_of))
+    sv, sw = v[order], win_of[order]
+
     if functionals:
         # same integer-exact definitions as window_features_stream
         n_ = out["n_tokens"]
@@ -445,15 +451,11 @@ def window_aggregates(
         sii = (n_ - 1) * n_ * (2 * n_ - 1) // 6
         num = n_ * s1 - si * s
         den = n_ * sii - si * si
-        sv_order = np.lexsort((v, np.repeat(np.arange(n, dtype=np.int64), lens)))
-        sv = v[sv_order]
         for name, qn, qd in (("tok_p20", 1, 5), ("tok_p50", 1, 2), ("tok_p80", 4, 5)):
             out[name] = sv[starts + ((n_ - 1) * qn) // qd]
         out["tok_slope"] = np.where(den > 0, num / np.where(den > 0, den, 1), 0.0)
 
-    # distinct count: lexsort by (window, value), count value-change points
-    order = np.lexsort((v, win_of))
-    sv, sw = v[order], win_of[order]
+    # distinct count: value-change points within each window run
     change = np.empty(len(sv), dtype=bool)
     change[0] = True
     np.not_equal(sv[1:], sv[:-1], out=change[1:])

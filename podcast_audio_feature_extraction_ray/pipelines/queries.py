@@ -630,8 +630,10 @@ def g8_collect(sf_dir: str):
         # vectorized in-group work: numpy sort + one ListArray wrap —
         # no Python per element (a source can hold billions of ids)
         ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
-        lst = pa.ListArray.from_arrays(
-            pa.array([0, len(ids)], type=pa.int32()), pa.array(ids)
+        # int64 offsets: a source can hold > 2^31 ids, which would
+        # overflow plain ListArray's int32 offsets
+        lst = pa.LargeListArray.from_arrays(
+            pa.array([0, len(ids)], type=pa.int64()), pa.array(ids)
         )
         return pa.table(
             {

@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from podcast_audio_feature_extraction_ray import hashing
+
 
 def _searchsorted_attach(
     cutoffs: np.ndarray,
@@ -215,11 +217,7 @@ def _discover_hot_asof(
     NB = sketch_buckets
 
     def _buckets(batch: pa.Table) -> np.ndarray:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for c in key:
-            h ^= pd.util.hash_pandas_object(
-                batch[c].to_pandas(), index=False
-            ).to_numpy(dtype=np.uint64)
+        h = hashing.combined_key_hash(batch[c].to_pandas() for c in key)
         return (h % np.uint64(NB)).astype(np.int64)
 
     def sketch(batch: pa.Table) -> pa.Table:
@@ -285,7 +283,7 @@ def backfill_join(
     hot_threshold: int | None = None,
     hot_index: "dict | None" = None,
     chunk_rows: int = 65_536,
-    merge_buckets: int = 64,
+    merge_buckets: int | None = None,
 ):
     """Scale path: MERGE-PATH as-of join via tagged union + ONE hash shuffle.
 
@@ -314,9 +312,17 @@ def backfill_join(
     serializes one group task. Cold keys ride chunk ``-1`` untouched.
     Auto-discovery (``hot_threshold``) costs one extra metadata pass over
     ``windows_ds``; at corpus scale pass a precomputed ``hot_index``.
+
+    ``merge_buckets`` defaults to 4x the cluster's CPUs (>= 64) so merge
+    parallelism tracks cluster size instead of idling extra cores; a
+    bucket's task still materializes ~1/merge_buckets of the unioned
+    rows, so corpus-scale callers should size it explicitly as
+    ~``total_rows / rows_per_task`` for their memory budget.
     """
     import ray as _ray
 
+    if merge_buckets is None:
+        merge_buckets = max(64, 4 * int(_ray.cluster_resources().get("CPU", 16)))
     key = tuple(key)
     win_schema = windows_ds.schema()
     payload_cols = [
@@ -355,11 +361,7 @@ def backfill_join(
         return np.where(hotr, t // C_[safe], -1).astype(np.int64)
 
     def _key_bucket(out: pa.Table) -> pa.Array:
-        h = np.zeros(out.num_rows, dtype=np.uint64)
-        for c in key:
-            h ^= pd.util.hash_pandas_object(
-                out[c].to_pandas(), index=False
-            ).to_numpy(dtype=np.uint64)
+        h = hashing.combined_key_hash(out[c].to_pandas() for c in key)
         if hot_ref is not None:
             # hot chunks must land in different buckets or the split
             # buys nothing; mix the chunk id in

@@ -38,7 +38,7 @@ import pyarrow as pa
 
 from podcast_audio_feature_extraction_ray.arrow_utils import list_array, list_buffers
 from podcast_audio_feature_extraction_ray.config import WindowSpec
-from podcast_audio_feature_extraction_ray import kernels
+from podcast_audio_feature_extraction_ray import hashing, kernels
 
 
 def _emit_windows(
@@ -437,11 +437,7 @@ def _hot_session_index(
     NB = int(sketch_buckets)
 
     def _key_buckets(batch: pa.Table) -> np.ndarray:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for c in sk:
-            h ^= pd.util.hash_pandas_object(
-                batch[c].to_pandas(), index=False
-            ).to_numpy(dtype=np.uint64)
+        h = hashing.combined_key_hash(batch[c].to_pandas() for c in sk)
         return (h % np.uint64(NB)).astype(np.int64)
 
     # ONE metadata scan: per-row sketch buckets ride along as ``__kb`` and
@@ -801,11 +797,7 @@ def segment_sessions(
         """(key_hash uint64, bucket id). The key hash also rides the
         exchange as ``__h`` so the per-bucket sort compares ints first
         and touches the key strings only to break hash collisions."""
-        h = np.zeros(len(keys_df), dtype=np.uint64)
-        for c in keys_df.columns:
-            h ^= pd.util.hash_pandas_object(keys_df[c], index=False).to_numpy(
-                dtype=np.uint64
-            )
+        h = hashing.combined_key_hash(keys_df[c] for c in keys_df.columns)
         hb = h
         if extra is not None:
             hb = h ^ (

@@ -182,7 +182,12 @@ def text_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
                 "n_alpha": pa.array(qa["n_alpha"]),
                 "mean_word_len": pa.array(mean_word_len),
                 "is_en": pa.array(stop_ratio > 0.09),
-                "n_ws_tokens": pc.list_value_length(pc.split_pattern(txt, " ")).cast(pa.int64()),
+                # identical to the whitespace split quality_arrays already
+                # did (lowering doesn't change whitespace) — don't pay the
+                # corpus's most expensive kernel twice in one scan. Null
+                # texts count as "" (1 token), consistent with the quality
+                # counters in the same row.
+                "n_ws_tokens": pa.array(n_words),
                 "n_re_tokens": pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64()),
                 "s_en": pa.array(la["s_en"]),
                 "s_de": pa.array(la["s_de"]),
@@ -445,6 +450,16 @@ def mix_sample(ds, rates: dict[str, float], default_rate: float = 1.0,
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _tf_per_doc(t64: np.ndarray, offs: np.ndarray, term: int) -> np.ndarray:
+    """Per-doc frequency of ``term`` via padded-cumsum offset-diff (exact
+    for zero-length docs, unlike ``np.add.reduceat``). Shared by BOTH
+    BM25 passes — the df stats broadcast from pass 1 are only consistent
+    with pass 2's scoring if the two tokenize and count identically."""
+    eq = (t64 == term).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(eq)])
+    return cs[offs[1:]] - cs[offs[:-1]]
+
+
 def bm25_topk(
     ds,
     queries: dict[int, list[int]],
@@ -490,9 +505,7 @@ def bm25_topk(
         out_t = [np.array([-1, -2], dtype=np.int64)]
         out_n = [np.array([batch.num_rows, len(t64)], dtype=np.int64)]
         for term in terms:
-            eq = (t64 == term).astype(np.int64)
-            cs = np.concatenate([[0], np.cumsum(eq)])
-            tf = cs[offs[1:]] - cs[offs[:-1]]
+            tf = _tf_per_doc(t64, offs, term)
             out_t.append(np.array([term], dtype=np.int64))
             out_n.append(np.array([int((tf > 0).sum())], dtype=np.int64))
         return pa.table(
@@ -522,9 +535,7 @@ def bm25_topk(
         norm = (1.0 - b) + b * (dl.astype(np.float64) * N / T)
         tf_by_term: dict[int, np.ndarray] = {}
         for ti, term in enumerate(terms_s):
-            eq = (t64 == term).astype(np.int64)
-            cs = np.concatenate([[0], np.cumsum(eq)])
-            tf_by_term[int(term)] = cs[offs[1:]] - cs[offs[:-1]]
+            tf_by_term[int(term)] = _tf_per_doc(t64, offs, term)
         qs, ds_, sc_ = [], [], []
         for qid, qterms in queries.items():
             score_q = np.zeros(batch.num_rows, dtype=np.int64)
