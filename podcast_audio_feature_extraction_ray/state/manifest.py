@@ -9,7 +9,8 @@ instead of per-episode files (SURVEY §4 "checkpoint granularity"):
   directory per hash partition of the session key, written ATOMICALLY
   (temp file + rename) inside the task that owns the partition;
 - manifest:      ``{out_dir}/_manifest/part-{pid:05d}.json`` with
-  lineage (key columns, partition count, row/byte counts, wall time) —
+  lineage (key columns, partition count, row/byte counts, wall time,
+  per-partition rows/sec throughput) —
   written only after the data rename succeeds;
 - resume:        a rerun lists completed manifests and filters BOTH the
   input rows and the output exchange down to the pending complement
@@ -141,6 +142,10 @@ def write_resumable(
             "rows_out": group.num_rows,
             "bytes_out": os.path.getsize(dst),
             "wall_time_s": round(time.time() - t0, 4),
+            # per-partition throughput: lets an operator spot straggler
+            # partitions (skewed keys, slow disks) straight from the
+            # manifest directory without re-running anything
+            "rows_per_sec": round(group.num_rows / max(time.time() - t0, 1e-9), 1),
             "input_lineage": input_lineage or [],
         }
         mtmp = os.path.join(manifest_dir(out_dir), f".part-{pid:05d}.tmp")
@@ -275,6 +280,7 @@ def write_resumable_fragments(
             "rows_out": group.num_rows,
             "bytes_out": os.path.getsize(dst),
             "wall_time_s": round(time.time() - t0, 4),
+            "rows_per_sec": round(group.num_rows / max(time.time() - t0, 1e-9), 1),
             "input_lineage": [files[pid]],
         }
         mtmp = os.path.join(manifest_dir(out_dir), f".part-{pid:05d}.tmp")

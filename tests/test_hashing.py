@@ -139,3 +139,24 @@ def test_pow_table_no_overflow_warning():
     with np.errstate(over="raise"):
         t = hh._pow_table(70)
     assert t[0] == 1 and len(t) >= 71
+
+
+def test_combined_key_hash_no_equal_column_collapse():
+    """The rotate-XOR combine must NOT collapse keys whose columns hold
+    equal values (plain XOR maps every (x, x) to 0 — one hot bucket)."""
+    import pandas as pd
+
+    from podcast_audio_feature_extraction_ray.hashing import combined_key_hash
+
+    vals = [f"k{i:04d}" for i in range(256)]
+    h = combined_key_hash([pd.Series(vals), pd.Series(vals)])
+    assert len(np.unique(h)) > 200  # distinct (x, x) keys stay distinct
+    # deterministic across calls (process-stable bucketing contract)
+    h2 = combined_key_hash([pd.Series(vals), pd.Series(vals)])
+    assert np.array_equal(h, h2)
+    # single-column form equals the underlying pandas row hash
+    one = combined_key_hash([pd.Series(vals)])
+    want = pd.util.hash_pandas_object(pd.Series(vals), index=False).to_numpy(
+        dtype=np.uint64
+    )
+    assert np.array_equal(one, want)
