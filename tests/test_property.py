@@ -53,7 +53,9 @@ def test_random_geometry_matches_oracle(
     spec = WindowSpec(window, hop, mode)
     tbl = _table(seed, n_rows=60, n_docs=5, max_len=30)
     ds = rd.from_arrow(tbl)
-    opts = dict(with_aggregates=True, lag=lag, lead=lead)
+    # functionals on: the percentile/slope columns must hold under
+    # arbitrary geometry too (window=1 degenerate slopes, hop>window gaps)
+    opts = dict(with_aggregates=True, functionals=True, lag=lag, lead=lead)
     if impl == "groups":
         got = seg.segment_sessions(
             ds, spec, impl="groups", chunk_ticks=4 * hop, **opts
@@ -64,7 +66,9 @@ def test_random_geometry_matches_oracle(
         ).to_pandas()
     else:
         got = seg.segment_sessions(ds, spec, num_buckets=4, **opts).to_pandas()
-    want = oracle.oracle_segment(tbl.to_pandas(), spec, lag=lag, lead=lead)
+    want = oracle.oracle_segment(
+        tbl.to_pandas(), spec, lag=lag, lead=lead, functionals=True
+    )
     if not (lag or lead):
         want = want.drop(columns=[c for c in ("lag_tokens", "lead_tokens") if c in want])
     else:
