@@ -1048,8 +1048,11 @@ def segment_sessions(
         )
     if sidechannel:
         # the tagged stream is now ~40 B/row metadata; its block count sets
-        # the sort's reduce fan-out, so spread it to ~2 tasks per core
-        # (workers then run several reduce tasks each and their arenas warm)
+        # the sort's reduce fan-out. 2 tasks per core, not 4: measured at
+        # 32 cpus, 64 parts runs the reduce ~30% faster than 128 (fewer,
+        # bigger tasks keep per-worker arenas warm and stop the extra
+        # wave from thrashing the shared memory bus); 64 also flattens
+        # the per-bucket tail at 8 cpus (BASELINE.md scaling knobs)
         try:
             ncpu = int(_ray.cluster_resources().get("CPU", 8))
         except Exception:  # pragma: no cover — not initialised
@@ -1058,7 +1061,7 @@ def segment_sessions(
 
         parts = int(
             _os.environ.get("TOKWIN_EXCHANGE_PARTS") or "0"
-        ) or min(num_buckets, max(8, 4 * ncpu))
+        ) or min(num_buckets, max(8, 2 * ncpu))
         tagged = tagged.repartition(parts)
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
