@@ -31,13 +31,22 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from podcast_audio_feature_extraction_ray import hashing
+
+
+# version tag for the partition-hash function; recorded in every
+# manifest and checked by the resume layout guard, so output written
+# with an OLDER hash is refused instead of silently mis-resumed
+HASH_VERSION = "ckh1"  # hashing.combined_key_hash (rotate-XOR combine)
+
 
 def partition_of(batch: pa.Table, key_cols, num_partitions: int) -> np.ndarray:
-    """Deterministic partition id per row: stable hash of key columns."""
-    h = np.zeros(batch.num_rows, dtype=np.uint64)
-    for c in key_cols:
-        col = pd.Series(batch[c].to_pandas())
-        h ^= pd.util.hash_pandas_object(col, index=False).to_numpy(dtype=np.uint64)
+    """Deterministic partition id per row: stable hash of key columns
+    (the shared rotate-XOR combine — equal-valued key columns must not
+    collapse into one straggler partition)."""
+    h = hashing.combined_key_hash(
+        pd.Series(batch[c].to_pandas()) for c in key_cols
+    )
     return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
@@ -86,14 +95,17 @@ def write_resumable(
         )[0]
         with open(os.path.join(mdir, sample)) as fh:
             prev = json.load(fh)
-        if prev.get("num_partitions") != num_partitions or tuple(
-            prev.get("key_cols", ())
-        ) != key_cols:
+        if (
+            prev.get("num_partitions") != num_partitions
+            or tuple(prev.get("key_cols", ())) != key_cols
+            or prev.get("hash", "pre-ckh1") != HASH_VERSION
+        ):
             raise ValueError(
                 f"resume layout mismatch for {out_dir}: existing manifests were "
                 f"written with num_partitions={prev.get('num_partitions')} "
-                f"key_cols={prev.get('key_cols')}, this call uses "
-                f"num_partitions={num_partitions} key_cols={list(key_cols)}"
+                f"key_cols={prev.get('key_cols')} hash={prev.get('hash', 'pre-ckh1')}, "
+                f"this call uses num_partitions={num_partitions} "
+                f"key_cols={list(key_cols)} hash={HASH_VERSION}"
             )
         # no-op resume fast path: a completed run leaves a run marker
         # recording how many partitions held data; if every one of them
@@ -135,17 +147,19 @@ def write_resumable(
         dst = os.path.join(pdir, "data.parquet")
         pq.write_table(group, tmp)
         os.replace(tmp, dst)  # atomic on POSIX
+        elapsed = max(time.time() - t0, 1e-9)
         man = {
             "partition_id": pid,
             "key_cols": list(key_cols),
             "num_partitions": num_partitions,
+            "hash": HASH_VERSION,
             "rows_out": group.num_rows,
             "bytes_out": os.path.getsize(dst),
-            "wall_time_s": round(time.time() - t0, 4),
+            "wall_time_s": round(elapsed, 4),
             # per-partition throughput: lets an operator spot straggler
             # partitions (skewed keys, slow disks) straight from the
             # manifest directory without re-running anything
-            "rows_per_sec": round(group.num_rows / max(time.time() - t0, 1e-9), 1),
+            "rows_per_sec": round(group.num_rows / elapsed, 1),
             "input_lineage": input_lineage or [],
         }
         mtmp = os.path.join(manifest_dir(out_dir), f".part-{pid:05d}.tmp")
@@ -273,14 +287,15 @@ def write_resumable_fragments(
         dst = os.path.join(pdir, "data.parquet")
         pq.write_table(group, tmp)
         os.replace(tmp, dst)
+        elapsed = max(time.time() - t0, 1e-9)
         man = {
             "partition_id": pid,
             "key_cols": [],
             "num_partitions": n_files,
             "rows_out": group.num_rows,
             "bytes_out": os.path.getsize(dst),
-            "wall_time_s": round(time.time() - t0, 4),
-            "rows_per_sec": round(group.num_rows / max(time.time() - t0, 1e-9), 1),
+            "wall_time_s": round(elapsed, 4),
+            "rows_per_sec": round(group.num_rows / elapsed, 1),
             "input_lineage": [files[pid]],
         }
         mtmp = os.path.join(manifest_dir(out_dir), f".part-{pid:05d}.tmp")

@@ -150,3 +150,29 @@ def test_fragment_resume_reads_only_pending(tiny_tokens, tmp_path):
     assert _hash_dir(crash) == h_full
     # no-op resume: nothing pending, nothing read
     assert mf.write_resumable_fragments(files, batch_fn, crash, sort_within=sortw) == 0
+
+
+def test_resume_hash_version_mismatch_refused(tiny_tokens, tmp_path):
+    """Output written with an OLDER partition-hash (manifests lacking the
+    hash field) must be refused — resuming onto it with the current hash
+    would route rows to different partitions and silently drop some."""
+    import json
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "hashver")
+    _run(tiny_tokens, out, num_partitions=8)
+    # simulate a pre-ckh1 manifest: strip the hash field from every one
+    mdir = mf.manifest_dir(out)
+    for f in os.listdir(mdir):
+        if f.startswith("part-") and f.endswith(".json"):
+            p = os.path.join(mdir, f)
+            with open(p) as fh:
+                m = json.load(fh)
+            m.pop("hash", None)
+            with open(p, "w") as fh:
+                json.dump(m, fh)
+    os.remove(os.path.join(mdir, "_run_complete.json"))  # force a resume path
+    with pytest.raises(ValueError, match="layout mismatch"):
+        _run(tiny_tokens, out, num_partitions=8)
