@@ -24,9 +24,12 @@ def windows_and_events(tiny_tokens, tiny_df):
     return win_ds, events, want
 
 
-def _check(got: pd.DataFrame, want: pd.DataFrame):
-    got = got.sort_values(["doc_id", "source", "ts_start"]).reset_index(drop=True)
-    want = want.sort_values(["doc_id", "source", "ts_start"]).reset_index(drop=True)
+def _check(got: pd.DataFrame, want: pd.DataFrame, sort=("doc_id", "source", "ts_start")):
+    # callers with duplicate (key, ts_start) rows must sort on a unique
+    # id column instead (two same-start windows with different cutoffs
+    # legitimately get different bf values)
+    got = got.sort_values(list(sort)).reset_index(drop=True)
+    want = want.sort_values(list(sort)).reset_index(drop=True)
     assert len(got) == len(want)
     g_null = got["bf_value"].isna().to_numpy()
     w_null = want["bf_value"].isna().to_numpy()
@@ -174,3 +177,52 @@ def test_backfill_broadcast_task_mode(windows_and_events):
         win_ds, events, mode="tasks", batch_size=4096
     ).to_pandas()
     _check(got, want)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_keys=st.integers(1, 8),
+    n_win=st.integers(1, 120),
+    n_ev=st.integers(0, 60),
+    hot=st.sampled_from([None, 5]),
+)
+def test_backfill_join_property(ray_session, seed, n_keys, n_win, n_ev, hot):
+    """Random keys/times through the merge-path join (hot-split on and
+    off) must equal the loop oracle exactly — including the zero-leakage
+    invariant, duplicate event timestamps and windows before any event."""
+    rng = np.random.default_rng(seed)
+    keys = [(f"d{i % n_keys}", ("a", "b")[i % 2]) for i in range(n_keys)]
+    wk = rng.integers(0, n_keys, n_win)
+    ts_start = rng.integers(0, 200, n_win).astype(np.int64)
+    win = pd.DataFrame(
+        {
+            "doc_id": [keys[i][0] for i in wk],
+            "source": [keys[i][1] for i in wk],
+            "win_id": np.arange(n_win, dtype=np.int64),
+            "ts_start": ts_start,
+            "ts_end": ts_start + rng.integers(1, 40, n_win).astype(np.int64),
+        }
+    )
+    ek = rng.integers(0, n_keys, n_ev)
+    events = pd.DataFrame(
+        {
+            "doc_id": [keys[i][0] for i in ek],
+            "source": [keys[i][1] for i in ek],
+            # duplicate ts on purpose: ties must resolve deterministically
+            "ts": rng.integers(0, 220, n_ev).astype(np.int64) // 2 * 2,
+            "value": rng.integers(-50, 50, n_ev).astype(np.float64),
+        }
+    )
+    if n_ev:
+        # oracle keys last-at-or-before by sorted ts; make ties unambiguous
+        events = events.drop_duplicates(["doc_id", "source", "ts"])
+    got = asof.backfill_join(
+        rd.from_pandas(win), rd.from_pandas(events),
+        hot_threshold=hot, chunk_rows=16,
+    ).to_pandas()
+    want = oracle.oracle_backfill(win, events)
+    _check(got, want, sort=("win_id",))
