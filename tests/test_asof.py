@@ -189,11 +189,13 @@ from hypothesis import given, settings, strategies as st
     n_win=st.integers(1, 120),
     n_ev=st.integers(0, 60),
     hot=st.sampled_from([None, 5]),
+    impl=st.sampled_from(["join", "broadcast"]),
 )
-def test_backfill_join_property(ray_session, seed, n_keys, n_win, n_ev, hot):
+def test_backfill_join_property(ray_session, seed, n_keys, n_win, n_ev, hot, impl):
     """Random keys/times through the merge-path join (hot-split on and
-    off) must equal the loop oracle exactly — including the zero-leakage
-    invariant, duplicate event timestamps and windows before any event."""
+    off) AND the broadcast path must equal the loop oracle exactly —
+    including the zero-leakage invariant, duplicate event timestamps and
+    windows before any event."""
     rng = np.random.default_rng(seed)
     keys = [(f"d{i % n_keys}", ("a", "b")[i % 2]) for i in range(n_keys)]
     wk = rng.integers(0, n_keys, n_win)
@@ -220,9 +222,14 @@ def test_backfill_join_property(ray_session, seed, n_keys, n_win, n_ev, hot):
     if n_ev:
         # oracle keys last-at-or-before by sorted ts; make ties unambiguous
         events = events.drop_duplicates(["doc_id", "source", "ts"])
-    got = asof.backfill_join(
-        rd.from_pandas(win), rd.from_pandas(events),
-        hot_threshold=hot, chunk_rows=16,
-    ).to_pandas()
+    if impl == "broadcast":
+        got = asof.backfill_broadcast(
+            rd.from_pandas(win), events, mode="tasks", batch_size=32
+        ).to_pandas()
+    else:
+        got = asof.backfill_join(
+            rd.from_pandas(win), rd.from_pandas(events),
+            hot_threshold=hot, chunk_rows=16,
+        ).to_pandas()
     want = oracle.oracle_backfill(win, events)
     _check(got, want, sort=("win_id",))
