@@ -117,6 +117,13 @@ class _EventIndex:
         return np.where(hit, safe, -1)
 
     def attach(self, batch: pa.Table, cutoff_from) -> pa.Table:
+        if not len(self.ev_comp):
+            # empty event table: every window backfills null (the
+            # searchsorted path would index into empty arrays)
+            cols = {c: batch[c] for c in batch.column_names}
+            cols["bf_value"] = pa.nulls(batch.num_rows, type=pa.float64())
+            cols["bf_ts"] = pa.nulls(batch.num_rows, type=pa.int64())
+            return pa.table(cols)
         cutoff = np.asarray(cutoff_from(batch), dtype=np.int64)
         code = self._key_codes(batch)  # -1 = unknown key
         target = code * self._BIG + np.minimum(cutoff, self._BIG - 1)
@@ -284,6 +291,7 @@ def backfill_join(
     hot_index: "dict | None" = None,
     chunk_rows: int = 65_536,
     merge_buckets: int | None = None,
+    payload: str = "inline",
 ):
     """Scale path: MERGE-PATH as-of join via tagged union + ONE hash shuffle.
 
@@ -318,11 +326,34 @@ def backfill_join(
     bucket's task still materializes ~1/merge_buckets of the unioned
     rows, so corpus-scale callers should size it explicitly as
     ~``total_rows / rows_per_task`` for their memory budget.
+
+    ``payload="blockref"`` (the segmenter's zero-copy exchange pattern,
+    ``segment.py``): when windows carry WIDE payload columns (e.g.
+    ``seg_tokens`` lists), the inline path ships them through the merge
+    shuffle. Blockref instead materializes the window blocks once, runs
+    the merge over a pointer table of ``(key…, cutoff, block, row)``
+    (~48 B/row), and re-attaches ``bf_value``/``bf_ts`` to the pinned
+    blocks zero-copy — two narrow exchanges replace one wide one. Same
+    plasma-pinning trade as the segmenter's blockref: the window blocks
+    stay pinned for the stage; recovery re-derives them from read-task
+    lineage. Honest measurement (BASELINE.md): on ONE node the two modes
+    tie (~3.1 vs ~3.3 s warm on 2.2M windows x 384 B payload) because
+    plasma is shared memory; the mode exists for multi-node clusters,
+    where the inline exchange moves the payload across the network twice
+    (shuffle write + read) and blockref moves it at most once, at block
+    granularity, with locality scheduling often avoiding even that.
     """
     import ray as _ray
 
     if merge_buckets is None:
         merge_buckets = max(64, 4 * int(_ray.cluster_resources().get("CPU", 16)))
+    if payload == "blockref":
+        return _backfill_join_blockref(
+            windows_ds, events_ds, key=key, ts_col=ts_col, value_col=value_col,
+            batch_size=batch_size, cutoff_col=cutoff_col,
+            hot_threshold=hot_threshold, hot_index=hot_index,
+            chunk_rows=chunk_rows, merge_buckets=merge_buckets,
+        )
     key = tuple(key)
     win_schema = windows_ds.schema()
     payload_cols = [
@@ -471,6 +502,71 @@ def backfill_join(
         return out
 
     return tagged.groupby("__b").map_groups(merge, batch_format="pyarrow")
+
+
+def _backfill_join_blockref(
+    windows_ds,
+    events_ds,
+    key,
+    ts_col,
+    value_col,
+    batch_size,
+    cutoff_col,
+    hot_threshold,
+    hot_index,
+    chunk_rows,
+    merge_buckets,
+):
+    """``backfill_join(payload="blockref")``: merge over a pointer table,
+    attach results to the pinned window blocks (see the caller's
+    docstring). Output column set and values are identical to inline
+    mode; only the exchange payload differs. The per-task closure holds
+    one ObjectRef per window block (~100 B each) — at extreme block
+    counts move the list behind the segmenter's ``_BufRegistry`` actor.
+    """
+    import ray as _ray
+    import ray.data as _rd
+
+    key = tuple(key)
+    cut_src = cutoff_col if cutoff_col is not None else "ts_end"
+    block_refs = windows_ds.materialize().to_arrow_refs()
+
+    @_ray.remote
+    def meta_of(tbl: pa.Table, i: int) -> pa.Table:
+        cols = {c: tbl[c] for c in (*key, cut_src)}
+        n = tbl.num_rows
+        cols["__blk"] = pa.array(np.full(n, i, dtype=np.int64))
+        cols["__row"] = pa.array(np.arange(n, dtype=np.int64))
+        return pa.table(cols)
+
+    meta = _rd.from_arrow_refs(
+        [meta_of.remote(r, i) for i, r in enumerate(block_refs)]
+    )
+    res = backfill_join(
+        meta, events_ds, key=key, ts_col=ts_col, value_col=value_col,
+        batch_size=batch_size, cutoff_col=cutoff_col,
+        hot_threshold=hot_threshold, hot_index=hot_index,
+        chunk_rows=chunk_rows, merge_buckets=merge_buckets,
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        # every window row survives the merge exactly once, so the
+        # sorted row ids ARE the block's original row order — append the
+        # bf columns without gathering the (wide) block at all
+        blk = int(group["__blk"][0].as_py())
+        order = pa.compute.sort_indices(group["__row"])
+        g = group.take(order)
+        tbl: pa.Table = _ray.get(block_refs[blk])
+        if g.num_rows != tbl.num_rows:  # pragma: no cover — invariant
+            raise AssertionError(
+                f"blockref attach: {g.num_rows} merge rows for a "
+                f"{tbl.num_rows}-row window block"
+            )
+        for c in ("ts_cutoff", "bf_value", "bf_ts"):
+            tbl = tbl.append_column(c, g[c])
+        return tbl
+
+    return res.groupby("__blk").map_groups(attach, batch_format="pyarrow")
 
 
 def range_count_broadcast(

@@ -189,7 +189,7 @@ from hypothesis import given, settings, strategies as st
     n_win=st.integers(1, 120),
     n_ev=st.integers(0, 60),
     hot=st.sampled_from([None, 5]),
-    impl=st.sampled_from(["join", "broadcast"]),
+    impl=st.sampled_from(["join", "broadcast", "blockref"]),
 )
 def test_backfill_join_property(ray_session, seed, n_keys, n_win, n_ev, hot, impl):
     """Random keys/times through the merge-path join (hot-split on and
@@ -230,6 +230,28 @@ def test_backfill_join_property(ray_session, seed, n_keys, n_win, n_ev, hot, imp
         got = asof.backfill_join(
             rd.from_pandas(win), rd.from_pandas(events),
             hot_threshold=hot, chunk_rows=16,
+            payload="blockref" if impl == "blockref" else "inline",
         ).to_pandas()
     want = oracle.oracle_backfill(win, events)
     _check(got, want, sort=("win_id",))
+
+
+def test_backfill_join_blockref_list_payload(windows_and_events):
+    """Blockref mode must equal inline mode bit-for-bit on windows that
+    carry a list payload column (seg_tokens) — the exact case the
+    pointer exchange exists for."""
+    win_ds, events, _ = windows_and_events
+    inline = asof.backfill_join(win_ds, rd.from_arrow(events)).to_pandas()
+    blk = asof.backfill_join(
+        win_ds, rd.from_arrow(events), payload="blockref"
+    ).to_pandas()
+    assert sorted(inline.columns) == sorted(blk.columns)
+    key = ["doc_id", "source", "win_id"]
+    inline = inline.sort_values(key).reset_index(drop=True)
+    blk = blk.sort_values(key).reset_index(drop=True)
+    for c in inline.columns:
+        a, b = inline[c], blk[c]
+        if c == "seg_tokens":
+            assert all(np.array_equal(x, y) for x, y in zip(a, b))
+        else:
+            pd.testing.assert_series_equal(a, b, check_names=False)
