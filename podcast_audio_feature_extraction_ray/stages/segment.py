@@ -393,6 +393,9 @@ def _gather_payload(
 
 def _sum_runs(b: np.ndarray, n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Group-sum int pairs by sorting + run cumsum (no Python per key)."""
+    if len(b) == 0:
+        # the run-start bootstrap below indexes element 0
+        return b.astype(np.int64, copy=False), n.astype(np.int64, copy=False)
     order = np.argsort(b, kind="stable")
     bs, ns = b[order], n[order]
     starts = np.flatnonzero(np.concatenate([[True], bs[1:] != bs[:-1]]))
@@ -457,6 +460,14 @@ def _hot_session_index(
 
     @_ray_.remote
     def _block_sketch(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bucket": pa.array([], type=pa.int64()),
+             "n": pa.array([], type=pa.int64())}
+        )
+        if tbl.num_rows == 0 or "__kb" not in tbl.column_names:
+            # zero-row blocks come through schema-less ("new schema: ."),
+            # so the column lookup itself would KeyError
+            return empty
         b, s = _sum_runs(
             tbl["__kb"].to_numpy(zero_copy_only=False),
             tbl["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64),

@@ -1,0 +1,96 @@
+"""Empty datasets must flow through every pipeline shape without error
+(a crashed 0-row partition kills a 100-TB run as surely as a bug at
+scale — two real crashes were found here: the hot-discovery sketch on
+schema-less empty blocks, and the broadcast as-of on an empty event
+table)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from podcast_audio_feature_extraction_ray.config import WindowSpec
+from podcast_audio_feature_extraction_ray.stages import asof, segment as seg
+
+
+@pytest.fixture()
+def empty_tokens():
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "tokens": pa.array([], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([], type=pa.int32()),
+            "source": pa.array([], type=pa.string()),
+            "seq_no": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+SPEC = WindowSpec(16, 8)
+
+
+def test_segment_rows_empty(ray_session, empty_tokens):
+    assert seg.segment_rows(
+        rd.from_arrow(empty_tokens), SPEC, with_aggregates=True
+    ).count() == 0
+
+
+@pytest.mark.parametrize("kw", [{}, {"payload": "blockref"}, {"impl": "groups"}])
+def test_segment_sessions_empty(ray_session, empty_tokens, kw):
+    assert seg.segment_sessions(rd.from_arrow(empty_tokens), SPEC, **kw).count() == 0
+
+
+def _empty_windows():
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+            "win_id": pa.array([], type=pa.int64()),
+            "ts_start": pa.array([], type=pa.int64()),
+            "ts_end": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def _one_event():
+    return pa.table(
+        {
+            "doc_id": pa.array(["a"]),
+            "source": pa.array(["s"]),
+            "ts": pa.array([3], type=pa.int64()),
+            "value": pa.array([1.0]),
+        }
+    )
+
+
+@pytest.mark.parametrize("payload", ["inline", "blockref"])
+def test_backfill_join_empty_windows(ray_session, payload):
+    assert asof.backfill_join(
+        rd.from_arrow(_empty_windows()), rd.from_arrow(_one_event()),
+        payload=payload,
+    ).count() == 0
+
+
+def test_backfill_broadcast_empty_events(ray_session):
+    win = pd.DataFrame(
+        {
+            "doc_id": ["a", "a"],
+            "source": ["s", "s"],
+            "win_id": np.array([0, 1], dtype=np.int64),
+            "ts_start": np.array([0, 8], dtype=np.int64),
+            "ts_end": np.array([16, 24], dtype=np.int64),
+        }
+    )
+    events = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=str),
+            "source": pd.Series([], dtype=str),
+            "ts": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.float64),
+        }
+    )
+    got = asof.backfill_broadcast(rd.from_pandas(win), events).to_pandas()
+    assert len(got) == 2 and got["bf_value"].isna().all()
