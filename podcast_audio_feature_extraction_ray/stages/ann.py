@@ -424,6 +424,23 @@ def semdedup(
 
     # --- train the coarse quantizer on a bounded sample (ivf_topk shape)
     sample = ds.limit(sample_n).select_columns([col]).to_pandas()
+    if len(sample) == 0:
+        # empty corpus: nothing to train on (a 0-row dataset's sample
+        # comes back schema-less, so even the column lookup would fail)
+        import ray.data as _rd
+
+        sch = dict(zip(ds.schema().names, ds.schema().types))
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=sch[id_col]),
+                    "cluster": pa.array([], type=pa.int64()),
+                    "max_prev_cos": pa.array([], type=pa.float64()),
+                    "keep": pa.array([], type=pa.bool_()),
+                    "truncated": pa.array([], type=pa.bool_()),
+                }
+            )
+        )
     S = np.stack([np.asarray(x, dtype=np.float64) for x in sample[col]])
     Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

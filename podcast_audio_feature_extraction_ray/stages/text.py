@@ -519,6 +519,22 @@ def bm25_topk(
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if len(stats) == 0 or "term" not in stats.columns:
+        # empty corpus: the partial stream produced no blocks at all, so
+        # the groupby result is schema-less — no docs, no hits
+        import ray.data as _rd
+
+        sch = dict(zip(ds.schema().names, ds.schema().types))
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=sch[id_col]),
+                    "score_q": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     lut = dict(zip(stats["term"].astype(np.int64), stats["n"].astype(np.int64)))
     n_docs = int(lut[-1])
     total_toks = int(lut[-2])

@@ -94,3 +94,60 @@ def test_backfill_broadcast_empty_events(ray_session):
     )
     got = asof.backfill_broadcast(rd.from_pandas(win), events).to_pandas()
     assert len(got) == 2 and got["bf_value"].isna().all()
+
+
+def _empty_docs():
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "text": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+        }
+    )
+
+
+def test_bm25_empty_corpus(ray_session):
+    from podcast_audio_feature_extraction_ray.stages import text
+
+    got = text.bm25_topk(rd.from_arrow(_empty_docs()), {1: [5, 7]}, k=3)
+    assert got.count() == 0
+    assert set(got.schema().names) == {"query_id", "doc_id", "score_q", "rank"}
+
+
+def test_semdedup_empty_corpus(ray_session):
+    from podcast_audio_feature_extraction_ray.stages import ann
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.string()),
+            "embedding": pa.array([], type=pa.list_(pa.float32())),
+        }
+    )
+    got = ann.semdedup(rd.from_arrow(empty), id_col="vec_id", col="embedding")
+    assert got.count() == 0
+    assert "keep" in got.schema().names
+
+
+def test_more_stages_pass_empty_through(ray_session, empty_tokens):
+    """The broad battery: every family must stream a 0-row dataset
+    without error (schema-less empty blocks are a Ray Data reality)."""
+    from podcast_audio_feature_extraction_ray.stages import (
+        dedup, packing, text, timewin, topk,
+    )
+
+    docs = rd.from_arrow(_empty_docs())
+    assert text.text_signals(docs).count() == 0
+    assert text.doc_fingerprint(rd.from_arrow(_empty_docs())).count() == 0
+    assert dedup.exact_dedup(rd.from_arrow(_empty_docs())).count() == 0
+    assert dedup.minhash_lsh_pairs(rd.from_arrow(_empty_docs())).count() == 0
+    assert dedup.simhash_pairs(rd.from_arrow(_empty_docs())).count() == 0
+    assert packing.pack_sequences(rd.from_arrow(empty_tokens), seq_len=64).count() == 0
+    assert topk.stride_sample(rd.from_arrow(empty_tokens)).count() == 0
+    ev = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "value": pa.array([], type=pa.float64()),
+        }
+    )
+    assert timewin.tumbling_aggregate(rd.from_arrow(ev)).count() == 0
