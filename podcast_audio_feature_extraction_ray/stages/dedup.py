@@ -38,6 +38,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from podcast_audio_feature_extraction_ray import hashing
 
@@ -55,7 +56,11 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
-                "text_hash": _md5_hex(batch[text_col].to_pylist()),
+                # null text hashes as "" — consistent with hash_words /
+                # quality_arrays (md5 of None would crash the task)
+                "text_hash": _md5_hex(
+                    pc.fill_null(batch[text_col], "").to_pylist()
+                ),
                 "id": batch[id_col].to_numpy(zero_copy_only=False),
             }
         )

@@ -151,3 +151,24 @@ def test_more_stages_pass_empty_through(ray_session, empty_tokens):
         }
     )
     assert timewin.tumbling_aggregate(rd.from_arrow(ev)).count() == 0
+
+
+def test_null_text_flows_through_text_family(ray_session):
+    """Null text rows must flow through every text-consuming operator as
+    the empty string (the quality_arrays/hash_words convention), never
+    crash a task."""
+    from podcast_audio_feature_extraction_ray.stages import dedup, text
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["hello world", None, ""]),
+            "source": pa.array(["s", "s", "s"]),
+        }
+    )
+    dd = dedup.exact_dedup(rd.from_arrow(docs)).to_pandas()
+    assert len(dd) == 2  # null and "" hash identically -> one group of 2
+    assert int(dd.loc[dd["n_dups"] == 2, "keep_doc_id"].iloc[0]) == 2
+    assert dedup.minhash_lsh_pairs(rd.from_arrow(docs)).count() == 1
+    assert text.text_signals(rd.from_arrow(docs)).count() == 3
+    assert text.doc_fingerprint(rd.from_arrow(docs)).count() == 3
