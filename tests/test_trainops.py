@@ -1061,3 +1061,62 @@ def test_top_k_matches_sorted_head(ray_session):
     got = top_k(rd.from_pandas(df).repartition(13), "score", 10, tiebreak=["id"]).to_pandas()
     want = df.sort_values(["score", "id"], ascending=[False, True]).head(10).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["id", "score"]].reset_index(drop=True), want[["id", "score"]])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+def _minhash_loop_oracle(df, est_threshold=0.5):
+    from podcast_audio_feature_extraction_ray import hashing
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    num_perm, bands, shingle, seed = 64, 16, 3, 1717
+    a_p, b_p = dedup._perm_params(num_perm, seed)
+    r = num_perm // bands
+    sigs, band_hashes = {}, {}
+    for _, row in df.iterrows():
+        s = dedup.minhash_signature(row.text, num_perm, shingle, a_p, b_p)
+        sigs[row.doc_id] = s
+        band_hashes[row.doc_id] = [
+            hashing.combine_hashes(s[bi * r : (bi + 1) * r]) for bi in range(bands)
+        ]
+    ids = sorted(sigs)
+    want = set()
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            if any(band_hashes[x][bi] == band_hashes[y][bi] for bi in range(bands)):
+                if float((sigs[x] == sigs[y]).mean()) >= est_threshold:
+                    want.add((x, y))
+    return want
+
+
+_WORDS = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "fast", "über",
+          "café", "data", "x"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_docs=st.integers(2, 24),
+    dup_frac=st.floats(0.0, 0.6),
+)
+def test_minhash_lsh_random_corpus_property(ray_session, seed, n_docs, dup_frac):
+    """Randomized corpora (planted dups, empty texts, whitespace runs,
+    unicode words) must match the independent loop oracle exactly."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(n_docs):
+        if i > 0 and rng.random() < dup_frac:
+            texts.append(texts[rng.integers(0, i)])  # planted duplicate
+        elif rng.random() < 0.1:
+            texts.append(rng.choice(["", "   ", "\t"]))
+        else:
+            k = int(rng.integers(1, 12))
+            texts.append(" ".join(rng.choice(_WORDS, size=k)))
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+    got = dedup.minhash_lsh_pairs(rd.from_pandas(df), est_threshold=0.5).to_pandas()
+    # a 0-pair result comes back schema-less (no columns at all)
+    got_pairs = set(zip(got["a"], got["b"])) if len(got) else set()
+    assert got_pairs == _minhash_loop_oracle(df)
