@@ -1120,3 +1120,87 @@ def test_minhash_lsh_random_corpus_property(ray_session, seed, n_docs, dup_frac)
     # a 0-pair result comes back schema-less (no columns at all)
     got_pairs = set(zip(got["a"], got["b"])) if len(got) else set()
     assert got_pairs == _minhash_loop_oracle(df)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_docs=st.integers(2, 24),
+    dup_frac=st.floats(0.0, 0.6),
+)
+def test_simhash_random_corpus_property(ray_session, seed, n_docs, dup_frac):
+    """Randomized corpora through simhash banding must equal brute force
+    (the pigeonhole recall guarantee is exact, not statistical)."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(n_docs):
+        if i > 0 and rng.random() < dup_frac:
+            texts.append(texts[rng.integers(0, i)])
+        elif rng.random() < 0.1:
+            texts.append(rng.choice(["", "  "]))
+        else:
+            k = int(rng.integers(1, 12))
+            texts.append(" ".join(rng.choice(_WORDS, size=k)))
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+    got = dedup.simhash_pairs(rd.from_pandas(df), max_hamming=3).to_pandas()
+    got_pairs = (
+        {(a, b): h for a, b, h in zip(got["a"], got["b"], got["hamming"])}
+        if len(got)
+        else {}
+    )
+    hs = {row.doc_id: dedup.simhash64(row.text) for _, row in df.iterrows()}
+    ids = sorted(hs)
+    want = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            d = bin(hs[x] ^ hs[y]).count("1")
+            if d <= 3:
+                want[(x, y)] = d
+    assert got_pairs == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_ev=st.integers(0, 200),
+    k=st.integers(1, 4),
+)
+def test_tumbling_hopping_random_property(ray_session, seed, n_ev, k):
+    """Random event streams through the event-time window aggregate must
+    match a pandas loop oracle for any width = k x hop (tumbling k=1)."""
+    from podcast_audio_feature_extraction_ray.stages import timewin
+
+    rng = np.random.default_rng(seed)
+    hop = 100
+    width = k * hop
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, n_ev).astype(np.int64),
+            "ts": rng.integers(0, 2000, n_ev).astype(np.int64),
+            "value": np.round(rng.normal(scale=10, size=n_ev), 3),
+        }
+    )
+    got = timewin.tumbling_aggregate(
+        rd.from_pandas(ev), width_us=width, hop_us=hop
+    ).to_pandas()
+    # loop oracle: every window start j*hop with start <= t < start+width
+    rows = {}
+    for _, e in ev.iterrows():
+        t = int(e.ts)
+        cents = int(np.sign(e.value) * np.floor(abs(e.value) * 100.0 + 0.5))
+        j_hi = t // hop
+        for j in range(max(j_hi - (k - 1), 0), j_hi + 1):
+            key = (int(e.user_id), j * hop)
+            n, s, lo, hi = rows.get(key, (0, 0, None, None))
+            rows[key] = (
+                n + 1,
+                s + cents,
+                t if lo is None else min(lo, t),
+                t if hi is None else max(hi, t),
+            )
+    assert len(got) == len(rows)
+    for _, r in got.iterrows():
+        n, s, lo, hi = rows[(int(r.user_id), int(r.win_start_us))]
+        assert (int(r.n_events), int(r.sum_cents), int(r.min_ts_us), int(r.max_ts_us)) == (n, s, lo, hi)
