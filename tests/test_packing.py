@@ -56,3 +56,60 @@ def test_packing_conserves_tokens(tiny_tokens):
     df = tiny_tokens.to_pandas()
     total_in = int(df["tokens"].map(len).sum()) + len(df)  # + one sep per doc
     assert total_out == total_in
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_rows=st.integers(1, 60),
+    n_docs=st.integers(1, 8),
+    seq_len=st.sampled_from([8, 64, 257]),
+)
+def test_packing_random_property(ray_session, seed, n_rows, n_docs, seq_len):
+    """Random tables (length-0 docs, docs longer than seq_len, duplicate
+    keys) must pack identically to the loop oracle at any seq_len."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(0, 3 * seq_len, n_rows)
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    vals = rng.integers(0, 1000, int(offs[-1]), dtype=np.int32)
+    doc = rng.integers(0, n_docs, n_rows)
+    seq = pd.DataFrame({"d": doc}).groupby("d").cumcount().to_numpy()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{int(x)}" for x in doc]),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32)), pa.array(vals)
+            ),
+            "n_tok": pa.array(lens.astype(np.int32)),
+            "source": pa.array(["s"] * n_rows),
+            "seq_no": pa.array(seq.astype(np.int64)),
+        }
+    )
+    got = (
+        pack_sequences(rd.from_arrow(tbl), seq_len=seq_len, sep_token=SEP,
+                       num_buckets=4)
+        .to_pandas().sort_values(["bucket", "seq_no"]).reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    h = pd.util.hash_pandas_object(df["doc_id"], index=False).to_numpy(dtype=np.uint64)
+    df["__bucket"] = (h % np.uint64(4)).astype(np.int64)
+    want_rows = []
+    for b, g in df.groupby("__bucket"):
+        g = g.sort_values(["doc_id", "seq_no", "n_tok"], kind="mergesort")
+        stream: list[int] = []
+        for toks in g["tokens"]:
+            stream.extend(int(x) for x in toks)
+            stream.append(SEP)
+        for s in range(0, len(stream), seq_len):
+            want_rows.append((int(b), s // seq_len, stream[s : s + seq_len]))
+    want = (
+        pd.DataFrame(want_rows, columns=["bucket", "seq_no", "tokens"])
+        .sort_values(["bucket", "seq_no"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for i in range(len(got)):
+        assert list(got.tokens[i]) == want.tokens[i]
