@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from podcast_audio_feature_extraction_ray import hashing
 from podcast_audio_feature_extraction_ray.arrow_utils import list_array, list_buffers
 from podcast_audio_feature_extraction_ray.kernels import concat_ranges
 
@@ -71,9 +72,9 @@ def pack_sequences(
     """Dataset of (bucket, seq_no, tokens, n_tok, n_doc_boundaries)."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(batch[id_col].to_pandas()), index=False
-        ).to_numpy(dtype=np.uint64)
+        # single-column form == the plain pandas row hash (and the loop
+        # oracle in tests/test_packing.py)
+        h = hashing.combined_key_hash([pd.Series(batch[id_col].to_pandas())])
         return batch.append_column(
             "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )

@@ -28,18 +28,16 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from podcast_audio_feature_extraction_ray import hashing
 from podcast_audio_feature_extraction_ray.arrow_utils import list_array, list_buffers
 
 
 def _tag_buckets(ds, key_cols: tuple, num_buckets: int):
-    """Append ``__bucket`` = stable hash of the key columns mod buckets."""
+    """Append ``__bucket`` = stable hash of the key columns mod buckets
+    (the shared rotate-XOR combine — see ``hashing.combined_key_hash``)."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for c in key_cols:
-            h ^= pd.util.hash_pandas_object(
-                batch[c].to_pandas(), index=False
-            ).to_numpy(dtype=np.uint64)
+        h = hashing.combined_key_hash(batch[c].to_pandas() for c in key_cols)
         b = (h % np.uint64(num_buckets)).astype(np.int64)
         return batch.append_column("__bucket", pa.array(b))
 
