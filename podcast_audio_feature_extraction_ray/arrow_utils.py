@@ -30,3 +30,12 @@ def list_array(values: np.ndarray, offsets: np.ndarray, value_type=pa.int32()) -
         pa.array(offsets.astype(np.int32), type=pa.int32()),
         pa.array(values, type=value_type),
     )
+
+
+def typed_empty_table(columns: "dict[str, pa.DataType]") -> pa.Table:
+    """A 0-row table with EXPLICIT column types. Operators that build a
+    driver-side artifact before streaming (BM25 stats, SemDeDup sample,
+    blockref pointer tables) must emit this instead of a bare empty
+    table: Ray hands 0-row blocks around schema-less ("new schema: ."),
+    so an untyped empty poisons downstream unions and column lookups."""
+    return pa.table({c: pa.array([], type=t) for c, t in columns.items()})

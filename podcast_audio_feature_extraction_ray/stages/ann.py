@@ -429,15 +429,17 @@ def semdedup(
         # comes back schema-less, so even the column lookup would fail)
         import ray.data as _rd
 
+        from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
         sch = dict(zip(ds.schema().names, ds.schema().types))
         return _rd.from_arrow(
-            pa.table(
+            typed_empty_table(
                 {
-                    id_col: pa.array([], type=sch[id_col]),
-                    "cluster": pa.array([], type=pa.int64()),
-                    "max_prev_cos": pa.array([], type=pa.float64()),
-                    "keep": pa.array([], type=pa.bool_()),
-                    "truncated": pa.array([], type=pa.bool_()),
+                    id_col: sch[id_col],
+                    "cluster": pa.int64(),
+                    "max_prev_cos": pa.float64(),
+                    "keep": pa.bool_(),
+                    "truncated": pa.bool_(),
                 }
             )
         )

@@ -354,6 +354,9 @@ def backfill_join(
             hot_threshold=hot_threshold, hot_index=hot_index,
             chunk_rows=chunk_rows, merge_buckets=merge_buckets,
         )
+    if payload != "inline":
+        # a typo'd mode must not silently ship the wide payload inline
+        raise ValueError(f"unknown payload mode {payload!r}; use 'inline' or 'blockref'")
     key = tuple(key)
     win_schema = windows_ds.schema()
     payload_cols = [
@@ -529,11 +532,29 @@ def _backfill_join_blockref(
 
     key = tuple(key)
     cut_src = cutoff_col if cutoff_col is not None else "ts_end"
+    win_schema = windows_ds.schema()
+    types = dict(zip(win_schema.names, win_schema.types))
     block_refs = windows_ds.materialize().to_arrow_refs()
+    from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
+    if not block_refs:
+        # zero-block dataset: same empty result inline mode produces
+        out_types = {c: types[c] for c in win_schema.names}
+        out_types.update(
+            {"ts_cutoff": pa.int64(), "bf_value": pa.float64(), "bf_ts": pa.int64()}
+        )
+        return _rd.from_arrow(typed_empty_table(out_types))
+    meta_types = {c: types[c] for c in (*key, cut_src)}
 
     @_ray.remote
     def meta_of(tbl: pa.Table, i: int) -> pa.Table:
-        cols = {c: tbl[c] for c in (*key, cut_src)}
+        if tbl.num_rows == 0 or any(c not in tbl.column_names for c in meta_types):
+            # zero-row blocks arrive schema-less; emit a TYPED empty
+            # pointer block so downstream union/groupby keeps one schema
+            return typed_empty_table(
+                {**meta_types, "__blk": pa.int64(), "__row": pa.int64()}
+            )
+        cols = {c: tbl[c] for c in meta_types}
         n = tbl.num_rows
         cols["__blk"] = pa.array(np.full(n, i, dtype=np.int64))
         cols["__row"] = pa.array(np.arange(n, dtype=np.int64))

@@ -565,6 +565,10 @@ def _hot_session_index(
     # per-session prefix sums distributed
     @_ray_.remote(num_returns=2)
     def _filter_hot(tbl: pa.Table):
+        if tbl.num_rows == 0 or "__kb" not in tbl.column_names:
+            # zero-row blocks arrive schema-less (same reality the
+            # sketch pass guards); they're dropped by count below
+            return tbl, 0
         out = only_hot_tbl(tbl)
         return out, out.num_rows
 
@@ -574,7 +578,10 @@ def _hot_session_index(
         tref, cref = _filter_hot.remote(r)
         hot_refs.append(tref)
         cnt_refs.append(cref)
-    n_hot = int(sum(_ray_.get(cnt_refs)))
+    cnts = _ray_.get(cnt_refs)
+    n_hot = int(sum(cnts))
+    # drop empty (possibly schema-less) outputs before any concat/union
+    hot_refs = [t for t, c in zip(hot_refs, cnts) if c > 0]
     del kb_refs, pair_refs  # unpin the meta blocks
     if n_hot > driver_collect_limit:  # 10^12-scale path
 

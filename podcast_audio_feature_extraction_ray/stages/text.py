@@ -524,14 +524,16 @@ def bm25_topk(
         # the groupby result is schema-less — no docs, no hits
         import ray.data as _rd
 
+        from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
         sch = dict(zip(ds.schema().names, ds.schema().types))
         return _rd.from_arrow(
-            pa.table(
+            typed_empty_table(
                 {
-                    "query_id": pa.array([], type=pa.int64()),
-                    id_col: pa.array([], type=sch[id_col]),
-                    "score_q": pa.array([], type=pa.int64()),
-                    "rank": pa.array([], type=pa.int64()),
+                    "query_id": pa.int64(),
+                    id_col: sch[id_col],
+                    "score_q": pa.int64(),
+                    "rank": pa.int64(),
                 }
             )
         )

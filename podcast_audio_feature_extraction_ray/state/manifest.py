@@ -95,10 +95,17 @@ def write_resumable(
         )[0]
         with open(os.path.join(mdir, sample)) as fh:
             prev = json.load(fh)
+        prev_hash = prev.get("hash", "pre-ckh1")
+        # single-column keys hash identically under every combine version
+        # (the combine only touches column 2+), so pre-upgrade layouts
+        # with one key column stay resumable
+        hash_ok = prev_hash == HASH_VERSION or (
+            prev_hash == "pre-ckh1" and len(key_cols) == 1
+        )
         if (
             prev.get("num_partitions") != num_partitions
             or tuple(prev.get("key_cols", ())) != key_cols
-            or prev.get("hash", "pre-ckh1") != HASH_VERSION
+            or not hash_ok
         ):
             raise ValueError(
                 f"resume layout mismatch for {out_dir}: existing manifests were "

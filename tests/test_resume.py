@@ -176,3 +176,41 @@ def test_resume_hash_version_mismatch_refused(tiny_tokens, tmp_path):
     os.remove(os.path.join(mdir, "_run_complete.json"))  # force a resume path
     with pytest.raises(ValueError, match="layout mismatch"):
         _run(tiny_tokens, out, num_partitions=8)
+
+
+def test_resume_pre_ckh1_single_key_still_resumable(tiny_tokens, tmp_path):
+    """Single-column keys hash identically under every combine version,
+    so a pre-upgrade layout (manifests without the hash field) must stay
+    resumable — only multi-key layouts are refused."""
+    import json
+
+    ds = rd.from_arrow(tiny_tokens)
+    win = seg.segment_rows(
+        ds, WindowSpec(16, 8, "frame"), key_cols=("doc_id", "source", "seq_no")
+    )
+    out = str(tmp_path / "singlekey")
+    mf.write_resumable(win, out, key_cols=("doc_id",), num_partitions=8)
+    mdir = mf.manifest_dir(out)
+    for f in os.listdir(mdir):
+        if f.startswith("part-") and f.endswith(".json"):
+            p = os.path.join(mdir, f)
+            with open(p) as fh:
+                m = json.load(fh)
+            m.pop("hash", None)
+            with open(p, "w") as fh:
+                json.dump(m, fh)
+    os.remove(os.path.join(mdir, "_run_complete.json"))
+    # resumes without error (and writes nothing new: all partitions done)
+    n = mf.write_resumable(win, out, key_cols=("doc_id",), num_partitions=8)
+    assert n == 0
+
+
+def test_backfill_join_rejects_unknown_payload(tiny_tokens):
+    import pytest
+
+    from podcast_audio_feature_extraction_ray.stages import asof
+
+    ds = rd.from_arrow(tiny_tokens)
+    win = seg.segment_rows(ds, WindowSpec(16, 8, "frame"))
+    with pytest.raises(ValueError, match="payload mode"):
+        asof.backfill_join(win, ds, payload="Blockref")
