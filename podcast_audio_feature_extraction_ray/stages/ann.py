@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
 
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
@@ -173,12 +175,9 @@ def lsh_bucketed_topk(
                     out_id.append(sub_ids[idx])
                     out_s.append(colv[idx])
             if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], type=pa.int64()),
-                        "vec_id": pa.array([], type=pa.int64()),
-                        "score": pa.array([], type=pa.float64()),
-                    }
+                return typed_empty_table(
+                    {"query_id": pa.int64(), "vec_id": pa.int64(),
+                     "score": pa.float64()}
                 )
             return pa.table(
                 {
@@ -296,12 +295,9 @@ def ivf_topk(
                     out_id.append(sub_ids[idx])
                     out_s.append(colv[idx])
             if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], type=pa.int64()),
-                        "vec_id": pa.array([], type=pa.int64()),
-                        "score": pa.array([], type=pa.float64()),
-                    }
+                return typed_empty_table(
+                    {"query_id": pa.int64(), "vec_id": pa.int64(),
+                     "score": pa.float64()}
                 )
             return pa.table(
                 {

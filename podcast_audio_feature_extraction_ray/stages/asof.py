@@ -345,6 +345,10 @@ def backfill_join(
     """
     import ray as _ray
 
+    if payload not in ("inline", "blockref"):
+        # a typo'd mode must not silently ship the wide payload inline —
+        # and must raise BEFORE any Ray side effect (cluster_resources)
+        raise ValueError(f"unknown payload mode {payload!r}; use 'inline' or 'blockref'")
     if merge_buckets is None:
         merge_buckets = max(64, 4 * int(_ray.cluster_resources().get("CPU", 16)))
     if payload == "blockref":
@@ -354,9 +358,6 @@ def backfill_join(
             hot_threshold=hot_threshold, hot_index=hot_index,
             chunk_rows=chunk_rows, merge_buckets=merge_buckets,
         )
-    if payload != "inline":
-        # a typo'd mode must not silently ship the wide payload inline
-        raise ValueError(f"unknown payload mode {payload!r}; use 'inline' or 'blockref'")
     key = tuple(key)
     win_schema = windows_ds.schema()
     payload_cols = [
@@ -532,9 +533,12 @@ def _backfill_join_blockref(
 
     key = tuple(key)
     cut_src = cutoff_col if cutoff_col is not None else "ts_end"
-    win_schema = windows_ds.schema()
+    # materialize FIRST: .schema() on the lazy dataset would execute part
+    # of the upstream plan only to discard it
+    mat = windows_ds.materialize()
+    win_schema = mat.schema()
     types = dict(zip(win_schema.names, win_schema.types))
-    block_refs = windows_ds.materialize().to_arrow_refs()
+    block_refs = mat.to_arrow_refs()
     from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
 
     if not block_refs:
@@ -548,12 +552,18 @@ def _backfill_join_blockref(
 
     @_ray.remote
     def meta_of(tbl: pa.Table, i: int) -> pa.Table:
-        if tbl.num_rows == 0 or any(c not in tbl.column_names for c in meta_types):
+        if tbl.num_rows == 0:
             # zero-row blocks arrive schema-less; emit a TYPED empty
             # pointer block so downstream union/groupby keeps one schema
             return typed_empty_table(
                 {**meta_types, "__blk": pa.int64(), "__row": pa.int64()}
             )
+        missing = [c for c in meta_types if c not in tbl.column_names]
+        if missing:
+            # rows WITHOUT the key/cutoff columns must fail loudly —
+            # returning empty here would silently drop this block's
+            # windows from the join output
+            raise KeyError(f"window block {i} missing columns {missing}")
         cols = {c: tbl[c] for c in meta_types}
         n = tbl.num_rows
         cols["__blk"] = pa.array(np.full(n, i, dtype=np.int64))

@@ -534,15 +534,11 @@ def ngram_jaccard_verify(
     pair_ref = _ray.put((a_ids, b_ids))
 
     def _empty():
-        return pa.table(
-            {
-                "__cb": pa.array([], type=pa.int64()),
-                "pair_id": pa.array([], type=pa.int64()),
-                "side": pa.array([], type=pa.int64()),
-                "gram": pa.array([], type=pa.int64()),
-                "set_size": pa.array([], type=pa.int64()),
-                "marker": pa.array([], type=pa.int64()),
-            }
+        from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
+        return typed_empty_table(
+            {c: pa.int64() for c in
+             ("__cb", "pair_id", "side", "gram", "set_size", "marker")}
         )
 
     def _rep_expand(counts: np.ndarray) -> np.ndarray:

@@ -460,14 +460,14 @@ def _hot_session_index(
 
     @_ray_.remote
     def _block_sketch(tbl: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"bucket": pa.array([], type=pa.int64()),
-             "n": pa.array([], type=pa.int64())}
-        )
-        if tbl.num_rows == 0 or "__kb" not in tbl.column_names:
+        if tbl.num_rows == 0:
             # zero-row blocks come through schema-less ("new schema: ."),
             # so the column lookup itself would KeyError
-            return empty
+            from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
+            return typed_empty_table({"bucket": pa.int64(), "n": pa.int64()})
+        if "__kb" not in tbl.column_names:
+            raise KeyError("meta block with rows but no __kb tag column")
         b, s = _sum_runs(
             tbl["__kb"].to_numpy(zero_copy_only=False),
             tbl["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -565,10 +565,14 @@ def _hot_session_index(
     # per-session prefix sums distributed
     @_ray_.remote(num_returns=2)
     def _filter_hot(tbl: pa.Table):
-        if tbl.num_rows == 0 or "__kb" not in tbl.column_names:
+        if tbl.num_rows == 0:
             # zero-row blocks arrive schema-less (same reality the
             # sketch pass guards); they're dropped by count below
             return tbl, 0
+        if "__kb" not in tbl.column_names:
+            # rows without the tag would silently skip hot detection
+            # (the Zipf straggler the index exists to prevent)
+            raise KeyError("meta block with rows but no __kb tag column")
         out = only_hot_tbl(tbl)
         return out, out.num_rows
 
