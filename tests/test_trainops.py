@@ -1204,3 +1204,78 @@ def test_tumbling_hopping_random_property(ray_session, seed, n_ev, k):
     for _, r in got.iterrows():
         n, s, lo, hi = rows[(int(r.user_id), int(r.win_start_us))]
         assert (int(r.n_events), int(r.sum_cents), int(r.min_ts_us), int(r.max_ts_us)) == (n, s, lo, hi)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_rows=st.integers(1, 200),
+    n_keys=st.integers(1, 6),
+    k=st.integers(1, 5),
+)
+def test_grouped_top_k_random_property(ray_session, seed, n_rows, n_keys, k):
+    """Random scored rows: per-key top-k with rank must match a pandas
+    loop (score desc, id asc tiebreak), including duplicate scores."""
+    from podcast_audio_feature_extraction_ray.stages import topk
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "src": [f"s{int(x)}" for x in rng.integers(0, n_keys, n_rows)],
+            "doc_id": np.arange(n_rows, dtype=np.int64),
+            # small int domain: plenty of score ties to stress tiebreaks
+            "score": rng.integers(0, 5, n_rows).astype(np.int64),
+        }
+    )
+    got = (
+        topk.grouped_top_k(rd.from_pandas(df), ["src"], "score", k,
+                           tiebreak=["doc_id"])
+        .to_pandas().sort_values(["src", "rank"]).reset_index(drop=True)
+    )
+    want_rows = []
+    for s, g in df.groupby("src"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        for r, (_, row) in enumerate(g.iterrows(), 1):
+            want_rows.append((s, int(row.doc_id), int(row.score), r))
+    want = pd.DataFrame(want_rows, columns=["src", "doc_id", "score", "rank"])
+    want = want.sort_values(["src", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["doc_id"].to_numpy(), want["doc_id"].to_numpy())
+    np.testing.assert_array_equal(got["rank"].to_numpy(), want["rank"].to_numpy())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_rows=st.integers(1, 150),
+    first=st.integers(1, 20),
+    step=st.integers(1, 7),
+)
+def test_stride_sample_random_property(ray_session, seed, n_rows, first, step):
+    """Random entity streams: per-entity [:first:step] must match the
+    pandas slice exactly."""
+    from podcast_audio_feature_extraction_ray.stages import topk
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{int(x)}" for x in rng.integers(0, 6, n_rows)],
+            "seq_no": np.zeros(n_rows, dtype=np.int64),
+            "v": rng.integers(0, 1000, n_rows).astype(np.int64),
+        }
+    )
+    df["seq_no"] = df.groupby("doc_id").cumcount().astype(np.int64)
+    got = (
+        topk.stride_sample(rd.from_pandas(df), entity_key=("doc_id",),
+                           order_key=("seq_no",), first=first, step=step)
+        .to_pandas().sort_values(["doc_id", "seq_no"]).reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["doc_id", "seq_no"], kind="mergesort")
+        .groupby("doc_id", group_keys=False)
+        .apply(lambda g: g.iloc[:first:step])
+        .sort_values(["doc_id", "seq_no"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["v"].to_numpy(), want["v"].to_numpy())
