@@ -1279,3 +1279,24 @@ def test_stride_sample_random_property(ray_session, seed, n_rows, first, step):
     )
     assert len(got) == len(want)
     np.testing.assert_array_equal(got["v"].to_numpy(), want["v"].to_numpy())
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 10_000), n_docs=st.integers(1, 20))
+def test_doc_fingerprint_random_property(ray_session, seed, n_docs):
+    """Random corpora through winnowing must match the per-doc loop
+    reference (rolling_fingerprints) including short/empty docs."""
+    from podcast_audio_feature_extraction_ray.stages import text as t
+
+    rng = np.random.default_rng(seed)
+    texts = []
+    for _ in range(n_docs):
+        k = int(rng.integers(0, 20))
+        texts.append(" ".join(rng.choice(_WORDS, size=k)) if k else "")
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+    got = t.doc_fingerprint(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    for _, row in df.iterrows():
+        fps = t.rolling_fingerprints(row.text.split(), 5, 8)
+        g = got.loc[row.doc_id]
+        assert g.n_fingerprints == len(fps)
+        assert list(g.fingerprints) == [x & 0x7FFFFFFFFFFFFFFF for x in fps]
