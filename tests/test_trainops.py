@@ -1300,3 +1300,55 @@ def test_doc_fingerprint_random_property(ray_session, seed, n_docs):
         g = got.loc[row.doc_id]
         assert g.n_fingerprints == len(fps)
         assert list(g.fingerprints) == [x & 0x7FFFFFFFFFFFFFFF for x in fps]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_rows=st.integers(1, 300),
+    n_blocks=st.integers(1, 6),
+)
+def test_global_order_index_random_property(ray_session, seed, n_rows, n_blocks):
+    """Random data under random block layouts: the attached sequence must
+    equal the pandas argsort rank (unique keys -> total order)."""
+    from podcast_audio_feature_extraction_ray.stages import topk
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.permutation(n_rows).astype(np.int64),  # unique keys
+            "v": rng.integers(0, 100, n_rows).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(n_blocks)
+    got = (
+        topk.global_order_index(ds, [("k", "ascending")])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # key i sorts to position i (keys are a permutation of 0..n-1)
+    np.testing.assert_array_equal(got["seq"].to_numpy(), got["k"].to_numpy())
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 10_000), n_blocks=st.integers(1, 6))
+def test_mix_sample_layout_invariant_property(ray_session, seed, n_blocks):
+    """The surviving doc set must be identical under any block layout
+    (the cluster-size-invariance contract of deterministic sampling)."""
+    from podcast_audio_feature_extraction_ray.stages import text as t
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [("web", "books", "code")[int(x)] for x in rng.integers(0, 3, n)],
+            "text": ["x"] * n,
+        }
+    )
+    rates = {"web": 0.25, "books": 1.0, "code": 0.5}
+    a = t.mix_sample(rd.from_pandas(df), rates).to_pandas()
+    b = t.mix_sample(
+        rd.from_pandas(df.sample(frac=1.0, random_state=seed)).repartition(n_blocks),
+        rates,
+    ).to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
