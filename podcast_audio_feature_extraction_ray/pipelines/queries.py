@@ -406,20 +406,48 @@ def dedup_ngram_jaccard(sf_dir: str):
     return dedup.ngram_jaccard_pairs(docs, thresh_num=1, thresh_den=5)
 
 
+def _pair_driver_max() -> int:
+    """Candidate-pair count above which the LSH compositions switch
+    from the broadcast-small-side path (collect pairs to the driver,
+    ``ray.put`` the memberships) to the fully distributed path
+    (``ngram_jaccard_verify_ds`` / ``neardup_clusters_ds`` — pairs stay
+    a Dataset, resolution is joins + label propagation). The default
+    keeps the driver collect comfortably under a GiB; a 30-50 %-dup
+    crawl at corpus scale crosses it and runs distributed."""
+    import os
+
+    return int(os.environ.get("TOKWIN_PAIR_DRIVER_MAX", 5_000_000))
+
+
 def dedup_minhash_lsh(sf_dir: str):
     """The full MinHash+LSH near-dup pipeline, end to end: banded LSH
     candidates (recall) → exact n-gram Jaccard verification (precision)
     → cluster resolution → per-doc (cluster_id, keep). Rows-only (LSH
     banding and transitive closure aren't SQL-expressible); every stage
-    is loop-oracle tested in tests/test_trainops.py."""
+    is loop-oracle tested in tests/test_trainops.py. Above
+    ``_pair_driver_max()`` candidate pairs the verification and
+    clustering run fully distributed (pairs never land on the driver)."""
     from podcast_audio_feature_extraction_ray.stages import dedup
 
     docs = _docs(sf_dir)
-    cands = dedup.minhash_lsh_pairs(docs, est_threshold=0.3).to_pandas()
-    ver = dedup.ngram_jaccard_verify(_docs(sf_dir), cands).to_pandas()
-    passing = ver[5 * ver["inter_n"] >= 1 * ver["union_n"]][["a", "b"]]
+    cands_ds = dedup.minhash_lsh_pairs(docs, est_threshold=0.3).materialize()
     docs2 = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-    return dedup.neardup_clusters(docs2, passing)
+    if cands_ds.count() <= _pair_driver_max():
+        cands = cands_ds.to_pandas()
+        ver = dedup.ngram_jaccard_verify(_docs(sf_dir), cands).to_pandas()
+        passing = ver[5 * ver["inter_n"] >= 1 * ver["union_n"]][["a", "b"]]
+        return dedup.neardup_clusters(docs2, passing)
+    ver_ds = dedup.ngram_jaccard_verify_ds(_docs(sf_dir), cands_ds)
+
+    def passing_filter(batch: pa.Table) -> pa.Table:
+        inter = batch["inter_n"].to_numpy(zero_copy_only=False)
+        union = batch["union_n"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(5 * inter >= union)).select(["a", "b"])
+
+    passing_ds = ver_ds.map_batches(
+        passing_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return dedup.neardup_clusters_ds(docs2, passing_ds)
 
 
 def dedup_simhash(sf_dir: str):
@@ -1214,9 +1242,11 @@ def dedup_lsh_verified(sf_dir: str):
     from podcast_audio_feature_extraction_ray.stages import dedup
 
     docs = _docs(sf_dir)
-    cands = dedup.minhash_lsh_pairs(docs, est_threshold=0.3).to_pandas()
+    cands_ds = dedup.minhash_lsh_pairs(docs, est_threshold=0.3).materialize()
     docs2 = _docs(sf_dir)
-    return dedup.ngram_jaccard_verify(docs2, cands)
+    if cands_ds.count() <= _pair_driver_max():
+        return dedup.ngram_jaccard_verify(docs2, cands_ds.to_pandas())
+    return dedup.ngram_jaccard_verify_ds(docs2, cands_ds)
 
 
 def dedup_clusters(sf_dir: str):
@@ -1227,9 +1257,11 @@ def dedup_clusters(sf_dir: str):
     from podcast_audio_feature_extraction_ray.stages import dedup
 
     docs = _docs(sf_dir)
-    cands = dedup.minhash_lsh_pairs(docs, est_threshold=0.5).to_pandas()
+    cands_ds = dedup.minhash_lsh_pairs(docs, est_threshold=0.5).materialize()
     docs2 = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-    return dedup.neardup_clusters(docs2, cands)
+    if cands_ds.count() <= _pair_driver_max():
+        return dedup.neardup_clusters(docs2, cands_ds.to_pandas())
+    return dedup.neardup_clusters_ds(docs2, cands_ds)
 
 
 def model_score_windows(sf_dir: str):

@@ -634,6 +634,364 @@ def ngram_jaccard_verify(
     )
 
 
+def _default_join_partitions() -> int:
+    """Hash-join width: one aggregator actor per partition, each
+    reserving a CPU — default to the cluster CPU count (clamped) so the
+    pool provisions fully; a 256-node caller passes this explicitly."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, min(64, cpus))
+
+
+def ngram_jaccard_verify_ds(
+    ds,
+    pairs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_coarse: int = 256,
+    num_partitions: int | None = None,
+):
+    """Distributed exact n-gram Jaccard verification of a candidate-pair
+    DATASET — the no-driver-collect path for corpora where near-dup
+    pairs are O(corpus) (30-50 % dup crawls), where
+    ``ngram_jaccard_verify``'s broadcast-small-side assumption breaks.
+
+    Shape: pairs explode to two membership rows ``(a, b, side, __doc)``
+    → ONE hash join co-locates each membership with its doc text (the
+    only stage that moves text) → per-membership gram + presence rows
+    keyed by the PAIR ITSELF ``(a, b)`` (no global pair-id assignment
+    needed) → ONE coarse groupby; inside each group a single lexsort
+    over ``(a, b, marker, gram)`` delimits pairs as runs and counts
+    intersections as adjacent-equal grams. Nothing lands on the driver;
+    pair count is unbounded. Requires ``(a, b)`` rows to be UNIQUE
+    (``minhash_lsh_pairs`` guarantees this via its final aggregate) and
+    int64 doc ids.
+
+    Same output schema + semantics as ``ngram_jaccard_verify``: one row
+    per candidate pair whose two docs both exist, ``(a, b, inter_n,
+    union_n)``; empty-text docs verify as ``inter_n=0`` with their
+    presence intact.
+    """
+    from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    # the composed callers hand in a MATERIALIZED pairs Dataset, so this
+    # count is metadata-cheap; an empty pair list must short-circuit —
+    # the hash join below cannot plan against a schema-less empty side
+    if pairs.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            typed_empty_table(
+                {"a": pa.int64(), "b": pa.int64(),
+                 "inter_n": pa.int64(), "union_n": pa.int64()}
+            )
+        )
+    _MEM_SCHEMA = {
+        "pr_a": pa.int64(), "pr_b": pa.int64(),
+        "side": pa.int64(), "__doc": pa.int64(),
+    }
+    _ROW_SCHEMA = {
+        "__cb": pa.int64(), "pr_a": pa.int64(), "pr_b": pa.int64(),
+        "gram": pa.int64(), "set_size": pa.int64(), "marker": pa.int64(),
+    }
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return typed_empty_table(_MEM_SCHEMA)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(a)
+        return pa.table(
+            {
+                "pr_a": pa.array(np.concatenate([a, a])),
+                "pr_b": pa.array(np.concatenate([b, b])),
+                "side": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int64), m)
+                ),
+                "__doc": pa.array(np.concatenate([a, b])),
+            }
+        )
+
+    members = pairs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    joined = members.join(
+        ds.select_columns([id_col, text_col]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("__doc",),
+        right_on=(id_col,),
+    )
+
+    def grams(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "pr_a" not in batch.column_names:
+            return typed_empty_table(_ROW_SCHEMA)
+        a = batch["pr_a"].to_numpy(zero_copy_only=False)
+        b = batch["pr_b"].to_numpy(zero_copy_only=False)
+        # per-membership deduped gram sets; _gram_sets keeps doc order,
+        # grams contiguous per row
+        sg, _, sizes = _gram_sets(batch[text_col], n)
+        cb = (
+            hashing.mix64(
+                a.astype(np.uint64)
+                + np.uint64(hashing.COMBINE_P) * b.astype(np.uint64)
+            )
+            % np.uint64(n_coarse)
+        ).astype(np.int64)
+        rep = np.repeat(np.arange(batch.num_rows, dtype=np.int64), sizes)
+        zeros_g = np.zeros(len(rep), dtype=np.int64)
+        return pa.table(
+            {
+                "__cb": pa.array(np.concatenate([cb[rep], cb])),
+                "pr_a": pa.array(np.concatenate([a[rep], a])),
+                "pr_b": pa.array(np.concatenate([b[rep], b])),
+                "gram": pa.array(
+                    np.concatenate(
+                        [sg.view(np.int64), np.zeros(batch.num_rows, np.int64)]
+                    )
+                ),
+                "set_size": pa.array(np.concatenate([zeros_g, sizes])),
+                "marker": pa.array(
+                    np.concatenate(
+                        [zeros_g, np.ones(batch.num_rows, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def count_group(group: pa.Table) -> pa.Table:
+        a = group["pr_a"].to_numpy(zero_copy_only=False)
+        b = group["pr_b"].to_numpy(zero_copy_only=False)
+        gram = group["gram"].to_numpy(zero_copy_only=False)
+        size = group["set_size"].to_numpy(zero_copy_only=False)
+        marker = group["marker"].to_numpy(zero_copy_only=False)
+        # one lexsort delimits pairs as (a, b) runs; within a run, gram
+        # rows (marker 0) sort by gram so intersections are adjacent
+        order = np.lexsort((gram, marker, b, a))
+        a_s, b_s = a[order], b[order]
+        gram_s, size_s, mk_s = gram[order], size[order], marker[order]
+        starts, lens = _run_bounds(a_s, b_s)
+        npair = len(starts)
+        pair_idx = np.repeat(np.arange(npair, dtype=np.int64), lens)
+        gm = mk_s == 0
+        pg, gg = pair_idx[gm], gram_s[gm]
+        inter = np.zeros(npair, dtype=np.int64)
+        if len(pg) > 1:
+            dup = (pg[1:] == pg[:-1]) & (gg[1:] == gg[:-1])
+            inter = np.bincount(pg[1:][dup], minlength=npair)
+        pm = ~gm
+        n_pres = np.bincount(pair_idx[pm], minlength=npair)
+        sizes_sum = np.zeros(npair, dtype=np.int64)
+        np.add.at(sizes_sum, pair_idx[pm], size_s[pm])
+        keep = n_pres == 2  # both docs exist ((a,b) rows unique upstream)
+        return pa.table(
+            {
+                "a": pa.array(a_s[starts][keep], type=pa.int64()),
+                "b": pa.array(b_s[starts][keep], type=pa.int64()),
+                "inter_n": pa.array(inter[keep].astype(np.int64), type=pa.int64()),
+                "union_n": pa.array(
+                    (sizes_sum[keep] - inter[keep]).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__cb")
+        .map_groups(count_group, batch_format="pyarrow")
+    )
+
+
+def _label_sum(labels) -> tuple[int, int]:
+    """Exact (count, sum-of-labels) of a (node, lab) Dataset as Python
+    ints: per-block hi/lo int64 partials (lab split at bit 31 so block
+    sums can't overflow below 2^32 rows/block) combined driver-side with
+    arbitrary-precision Python addition. One small row per block rides
+    to the driver — bounded by block count, never by node count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = int((lab & np.int64((1 << 31) - 1)).sum())
+        hi = int((lab >> np.int64(31)).sum())
+        return pa.table(
+            {
+                "n": pa.array([len(lab)], type=pa.int64()),
+                "lo": pa.array([lo], type=pa.int64()),
+                "hi": pa.array([hi], type=pa.int64()),
+            }
+        )
+
+    parts = labels.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(parts) == 0:
+        return 0, 0
+    n = int(parts["n"].sum())
+    total = sum(int(h) for h in parts["hi"]) * (1 << 31) + sum(
+        int(lo) for lo in parts["lo"]
+    )
+    return n, total
+
+
+def neardup_clusters_ds(
+    ds,
+    pairs,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+):
+    """Distributed transitive closure of a near-dup pair DATASET — the
+    no-driver-collect counterpart of ``neardup_clusters`` for corpora
+    where the pair list is O(corpus). Same output contract: every doc
+    gets ``cluster_id`` = min doc id reachable through pairs (itself if
+    in no pair) and ``keep`` = (doc == cluster minimum).
+
+    Min-label propagation with pointer jumping, all Dataset ops: each
+    round is (edges ⨝ labels) ∪ (labels ⨝ labels on label→node, the
+    jump that makes rounds O(log chain-length) instead of O(diameter))
+    → ONE groupby-min. Labels start at min(node, nbr), only ever
+    decrease, and are always ids of nodes that hold a labels row, so
+    the jump join is total and the exact label sum (``_label_sum``,
+    Python-int, overflow-free) is strictly decreasing until the
+    fixpoint — sum unchanged ⟺ converged. Labels materialize once per
+    round (they're one row per pair-involved node, not per doc).
+    Attach = labels ∪ (doc, doc) self rows → groupby-min → ONE inner
+    hash join back to the corpus. Requires int64 doc ids.
+    """
+    import ray.data as _rd
+    from ray.data.aggregate import Min
+
+    from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    _EDGE_SCHEMA = {"node": pa.int64(), "nbr": pa.int64()}
+
+    def both(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return typed_empty_table(_EDGE_SCHEMA)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "nbr": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(
+        both, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def init_lab(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return typed_empty_table({"node": pa.int64(), "lab": pa.int64()})
+        return pa.table(
+            {
+                "node": batch["node"],
+                "lab": pc.min_element_wise(batch["node"], batch["nbr"]),
+            }
+        )
+
+    labels = (
+        edges.map_batches(init_lab, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("lab", alias_name="lab"))
+        .materialize()
+    )
+    n_nodes, prev_sum = _label_sum(labels)
+
+    def nbr_msg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "nbr" not in batch.column_names:
+            return typed_empty_table({"node": pa.int64(), "lab": pa.int64()})
+        return pa.table({"node": batch["nbr"], "lab": batch["lab"]})
+
+    def jump_msg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return typed_empty_table({"node": pa.int64(), "lab": pa.int64()})
+        return pa.table({"node": batch["node"], "lab": batch["lab2"]})
+
+    if n_nodes:
+        for _round in range(max_rounds):
+            m1 = edges.join(
+                labels,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("node",),
+            ).map_batches(nbr_msg, batch_format="pyarrow", zero_copy_batch=True)
+            jump_rhs = labels.map_batches(
+                lambda b: pa.table({"node2": b["node"], "lab2": b["lab"]})
+                if b.num_rows
+                else typed_empty_table({"node2": pa.int64(), "lab2": pa.int64()}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            m2 = labels.join(
+                jump_rhs,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("lab",),
+                right_on=("node2",),
+            ).map_batches(jump_msg, batch_format="pyarrow", zero_copy_batch=True)
+            labels = (
+                m1.union(m2)
+                .groupby("node")
+                .aggregate(Min("lab", alias_name="lab"))
+                .materialize()
+            )
+            cnt, cur_sum = _label_sum(labels)
+            assert cnt == n_nodes, "label propagation lost nodes"
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"neardup_clusters_ds did not converge in {max_rounds} rounds"
+            )
+
+    # attach: self rows make every doc its own cluster by default, the
+    # groupby-min folds in the propagated labels, ONE join distributes
+    def self_lab(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(ids), "lab": pa.array(ids)})
+
+    base = ds.select_columns([id_col]).map_batches(
+        self_lab, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if n_nodes:  # an all-empty labels side would union schema-less blocks
+        base = base.union(labels)
+    full = base.groupby("node").aggregate(Min("lab", alias_name="lab"))
+    joined = ds.join(
+        full,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_on=("node",),
+    )
+    sch = ds.schema()
+    out_schema = dict(zip(sch.names, sch.types))
+    out_schema["cluster_id"] = pa.int64()
+    out_schema["keep"] = pa.bool_()
+
+    def shape(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "lab" not in batch.column_names:
+            return typed_empty_table(out_schema)
+        keep_cols = [c for c in batch.column_names if c not in ("lab", "node")]
+        out = batch.select(keep_cols)
+        lab = batch["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = out.append_column("cluster_id", pa.array(lab))
+        return out.append_column("keep", pa.array(lab == ids))
+
+    return joined.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dup_span_grams(ds, text_col: str = "text", id_col: str = "doc_id",
                    gram: int = 6, base: int = 1024, top: int = 100,
                    hashed: bool = False):
