@@ -871,16 +871,24 @@ BM25_QUERIES = {0: [209, 173], 1: [128, 209], 2: [173, 128, 239]}  # multi-term
 
 
 def t3_bm25(sf_dir: str):
-    """T3 with a REAL lexical scorer: Okapi BM25 over the toy-tokenizer
-    terms (the self-contained replacement for the reference's external
-    ES ``multi_match`` + field boosts, ``src/search/search.py:174-214``):
-    per-term df / corpus stats from one bounded partial shuffle,
-    broadcast; scoring streams the corpus once with a local top-k prune;
-    int64-quantized contributions make the DuckDB oracle bit-exact."""
+    """T3 with a REAL lexical scorer: multi-field boosted Okapi BM25
+    over the toy-tokenizer terms — the self-contained replacement for
+    the reference's external ES ``multi_match`` with field boosts
+    (``src/search/search.py:177-183`` boosts ``seg_words^2, epis_name,
+    epis_desc``; here ``text^2, source^1``, ES ``most_fields`` sum
+    semantics): per-(field, term) df / corpus stats from one bounded
+    partial shuffle, broadcast; scoring streams the corpus once with a
+    local top-k prune; int64-quantized contributions make the DuckDB
+    oracle bit-exact. Term 239 ("src0".."src9") scores via the source
+    field, so the multi-field path is exercised by the driver compare."""
     from podcast_audio_feature_extraction_ray.stages.text import bm25_topk
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return bm25_topk(docs, BM25_QUERIES, k=10)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return bm25_topk(
+        docs, BM25_QUERIES, k=10, fields=[("text", 2.0), ("source", 1.0)]
+    )
 
 
 def t3_scored_source(sf_dir: str):

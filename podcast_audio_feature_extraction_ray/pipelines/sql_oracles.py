@@ -534,39 +534,62 @@ FROM c
 # double literals) — the op sequence below mirrors stages/text.bm25_topk
 _K1 = 1.2
 _B = 0.75
+# multi-field boosted BM25 (text^2, source^1 — ES most_fields sum):
+# each field keeps its own df / dl / total-token stats; the per-field
+# quantizer constant is boost*scale computed in Python (2.0*2^20 and
+# 1.0*2^20 are exact doubles) exactly as stages/text.bm25_topk does
+_BM25_F0 = 2.0 * 1048576.0  # text boost 2
+_BM25_F1 = 1.0 * 1048576.0  # source boost 1
 SQL["t3_bm25"] = f"""
 WITH tokb AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
-                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS tokens
+                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS toks0,
+         list_transform(string_split(source, ' '),
+                        w -> cast(length(w)*31 + coalesce(ascii(w), 0) AS int)) AS toks1
   FROM documents
 ),
 q(query_id, term) AS (VALUES (0, 209), (0, 173), (1, 128), (1, 209), (2, 173), (2, 128), (2, 239)),
 stats AS (
   SELECT cast(count(*) AS bigint) AS n_docs,
-         cast(sum(len(tokens)) AS bigint) AS total_toks
+         cast(sum(len(toks0)) AS bigint) AS tt0,
+         cast(sum(len(toks1)) AS bigint) AS tt1
   FROM tokb
 ),
 terms AS (SELECT DISTINCT term FROM q),
 tft AS (
-  SELECT terms.term, t.doc_id, cast(len(t.tokens) AS bigint) AS dl,
-         cast(len(list_filter(t.tokens, x -> x = terms.term)) AS bigint) AS tf
+  SELECT terms.term, t.doc_id,
+         cast(len(t.toks0) AS bigint) AS dl0,
+         cast(len(t.toks1) AS bigint) AS dl1,
+         cast(len(list_filter(t.toks0, x -> x = terms.term)) AS bigint) AS tf0,
+         cast(len(list_filter(t.toks1, x -> x = terms.term)) AS bigint) AS tf1
   FROM tokb t CROSS JOIN terms
 ),
 dfq AS (
-  SELECT term, cast(count(*) FILTER (WHERE tf > 0) AS bigint) AS df
+  SELECT term,
+         cast(count(*) FILTER (WHERE tf0 > 0) AS bigint) AS df0,
+         cast(count(*) FILTER (WHERE tf1 > 0) AS bigint) AS df1
   FROM tft GROUP BY term
 ),
 contrib AS (
-  SELECT q.query_id, f.doc_id, f.tf,
+  SELECT q.query_id, f.doc_id, f.tf0 + f.tf1 AS tf,
          cast(floor(
-           (((s.n_docs - d.df + cast(0.5 AS double)) / (d.df + cast(0.5 AS double)))
-            * (f.tf * cast({_K1 + 1.0!r} AS double))
-            / (f.tf + cast({_K1!r} AS double)
+           (((s.n_docs - d.df0 + cast(0.5 AS double)) / (d.df0 + cast(0.5 AS double)))
+            * (f.tf0 * cast({_K1 + 1.0!r} AS double))
+            / (f.tf0 + cast({_K1!r} AS double)
                * (cast({1.0 - _B!r} AS double)
                   + cast({_B!r} AS double)
-                    * (cast(f.dl AS double) * s.n_docs / s.total_toks))))
-           * cast(1048576.0 AS double)
+                    * (cast(f.dl0 AS double) * s.n_docs / s.tt0))))
+           * cast({_BM25_F0!r} AS double)
+         ) AS bigint)
+         + cast(floor(
+           (((s.n_docs - d.df1 + cast(0.5 AS double)) / (d.df1 + cast(0.5 AS double)))
+            * (f.tf1 * cast({_K1 + 1.0!r} AS double))
+            / (f.tf1 + cast({_K1!r} AS double)
+               * (cast({1.0 - _B!r} AS double)
+                  + cast({_B!r} AS double)
+                    * (cast(f.dl1 AS double) * s.n_docs / s.tt1))))
+           * cast({_BM25_F1!r} AS double)
          ) AS bigint) AS c
   FROM q
   JOIN tft f ON f.term = q.term

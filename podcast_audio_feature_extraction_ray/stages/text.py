@@ -469,6 +469,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     scale: int = 1 << 20,
+    fields: list[tuple[str, float]] | None = None,
 ):
     """BM25 lexical scoring + top-k retrieval (the self-contained
     replacement for the reference's external ES ``multi_match`` scorer,
@@ -477,19 +478,27 @@ def bm25_topk(
     over the toy-tokenizer terms, and the top ``k`` docs per query are
     returned with ranks.
 
-    Scale shape: pass 1 computes per-term document frequencies and the
-    corpus (n_docs, total_tokens) as tiny per-batch partials folded by
-    ONE bounded groupby (rows <= |query terms| + 2 sentinels per batch);
-    the stats broadcast via ``ray.put``; pass 2 streams the corpus once,
-    scoring every query vectorized per batch, pruning to a local top-k
-    (score ties kept), and ONE per-query merge ranks the k survivors.
-    Nothing larger than (k-ish x batches x queries) rides the shuffle.
+    ``fields`` is the multi-field boosted form (the reference boosts
+    ``seg_words^2, epis_name, epis_desc`` — ``search.py:177-183``): a
+    list of ``(column, boost)``; each field keeps its OWN df / length
+    stats and the doc score is ``sum_field boost * BM25_field`` (ES
+    ``most_fields`` semantics). ``None`` means ``[(text_col, 1.0)]`` —
+    the single-field behavior, bit-identical to before.
+
+    Scale shape: pass 1 computes per-(field, term) document frequencies
+    and the corpus (n_docs, per-field total_tokens) as tiny per-batch
+    partials folded by ONE bounded groupby (rows <= |fields| x
+    (|query terms| + 1) + 1 per batch); the stats broadcast via
+    ``ray.put``; pass 2 streams the corpus once, scoring every query
+    vectorized per batch, pruning to a local top-k (score ties kept),
+    and ONE per-query merge ranks the k survivors. Nothing larger than
+    (k-ish x batches x queries) rides the shuffle.
 
     Exactness: per-term contributions are computed with a FIXED IEEE op
     sequence from exact ints (rational idf ``(N-df+0.5)/(df+0.5)``, no
     ``ln``), then quantized to an int64 grid of ``scale`` so per-doc
     sums are order-free — the DuckDB oracle matches bit-for-bit.
-    ``score_q = sum_t floor(idf_t * (tf*(k1+1)) / (tf + k1*(1-b+b*dl*N/T)) * scale)``.
+    ``score_q = sum_f sum_t floor((idf_ft * (tf*(k1+1)) / (tf + k1*(1-b+b*dl_f*N/T_f))) * (boost_f*scale))``.
     """
     import ray
 
@@ -497,25 +506,34 @@ def bm25_topk(
 
     from podcast_audio_feature_extraction_ray.functions import scalar
 
+    if fields is None:
+        fields = [(text_col, 1.0)]
     terms = np.unique(np.concatenate([np.asarray(v, np.int64) for v in queries.values()]))
 
     def stats_partial(batch: pa.Table) -> pa.Table:
-        vals, offs = scalar.word_tokens_arrow(batch[text_col])
-        t64 = vals.astype(np.int64)
-        out_t = [np.array([-1, -2], dtype=np.int64)]
-        out_n = [np.array([batch.num_rows, len(t64)], dtype=np.int64)]
-        for term in terms:
-            tf = _tf_per_doc(t64, offs, term)
-            out_t.append(np.array([term], dtype=np.int64))
-            out_n.append(np.array([int((tf > 0).sum())], dtype=np.int64))
+        out_f = [np.array([-1], dtype=np.int64)]
+        out_t = [np.array([-1], dtype=np.int64)]
+        out_n = [np.array([batch.num_rows], dtype=np.int64)]
+        for fi, (col, _boost) in enumerate(fields):
+            vals, offs = scalar.word_tokens_arrow(batch[col])
+            t64 = vals.astype(np.int64)
+            out_f.append(np.array([fi], dtype=np.int64))
+            out_t.append(np.array([-2], dtype=np.int64))
+            out_n.append(np.array([len(t64)], dtype=np.int64))
+            for term in terms:
+                tf = _tf_per_doc(t64, offs, term)
+                out_f.append(np.array([fi], dtype=np.int64))
+                out_t.append(np.array([term], dtype=np.int64))
+                out_n.append(np.array([int((tf > 0).sum())], dtype=np.int64))
         return pa.table(
-            {"term": pa.array(np.concatenate(out_t)),
+            {"field": pa.array(np.concatenate(out_f)),
+             "term": pa.array(np.concatenate(out_t)),
              "n": pa.array(np.concatenate(out_n))}
         )
 
     stats = (
         ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
+        .groupby(["field", "term"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
@@ -537,36 +555,51 @@ def bm25_topk(
                 }
             )
         )
-    lut = dict(zip(stats["term"].astype(np.int64), stats["n"].astype(np.int64)))
-    n_docs = int(lut[-1])
-    total_toks = int(lut[-2])
-    df_arr = np.array([int(lut.get(int(t), 0)) for t in terms], dtype=np.int64)
+    lut = {
+        (int(f), int(t)): int(n)
+        for f, t, n in zip(stats["field"], stats["term"], stats["n"])
+    }
+    n_docs = int(lut[(-1, -1)])
+    total_toks = np.array(
+        [int(lut[(fi, -2)]) for fi in range(len(fields))], dtype=np.int64
+    )
+    df_arr = np.array(
+        [[int(lut.get((fi, int(t)), 0)) for t in terms] for fi in range(len(fields))],
+        dtype=np.int64,
+    )
     stats_ref = ray.put((terms, df_arr, n_docs, total_toks))
 
     def score(batch: pa.Table) -> pa.Table:
-        terms_s, df_s, N, T = ray.get(stats_ref)
-        vals, offs = scalar.word_tokens_arrow(batch[text_col])
-        t64 = vals.astype(np.int64)
-        dl = np.diff(offs).astype(np.int64)
+        terms_s, df_s, N, T_f = ray.get(stats_ref)
         doc = batch[id_col].to_numpy(zero_copy_only=False)
-        # per-doc length norm: fixed op sequence (see docstring)
-        norm = (1.0 - b) + b * (dl.astype(np.float64) * N / T)
-        tf_by_term: dict[int, np.ndarray] = {}
-        for ti, term in enumerate(terms_s):
-            tf_by_term[int(term)] = _tf_per_doc(t64, offs, term)
+        # per-field per-doc length norms + term frequencies
+        norms: list[np.ndarray] = []
+        tf_by_field: list[dict[int, np.ndarray]] = []
+        for fi, (col, _boost) in enumerate(fields):
+            vals, offs = scalar.word_tokens_arrow(batch[col])
+            t64 = vals.astype(np.int64)
+            dl = np.diff(offs).astype(np.int64)
+            # fixed op sequence (see docstring)
+            norms.append((1.0 - b) + b * (dl.astype(np.float64) * N / int(T_f[fi])))
+            tf_by_field.append(
+                {int(term): _tf_per_doc(t64, offs, term) for term in terms_s}
+            )
         qs, ds_, sc_ = [], [], []
         for qid, qterms in queries.items():
             score_q = np.zeros(batch.num_rows, dtype=np.int64)
             any_tf = np.zeros(batch.num_rows, dtype=np.int64)
             for term in qterms:
                 ti = int(np.searchsorted(terms_s, term))
-                df = int(df_s[ti])
-                tf = tf_by_term[int(term)]
-                any_tf += tf
-                idf = (N - df + 0.5) / (df + 0.5)
-                tff = tf.astype(np.float64)
-                contrib = idf * (tff * (k1 + 1.0)) / (tff + k1 * norm)
-                score_q += np.floor(contrib * float(scale)).astype(np.int64)
+                for fi, (_col, boost) in enumerate(fields):
+                    df = int(df_s[fi, ti])
+                    tf = tf_by_field[fi][int(term)]
+                    any_tf += tf
+                    idf = (N - df + 0.5) / (df + 0.5)
+                    tff = tf.astype(np.float64)
+                    contrib = idf * (tff * (k1 + 1.0)) / (tff + k1 * norms[fi])
+                    score_q += np.floor(contrib * (float(boost) * float(scale))).astype(
+                        np.int64
+                    )
             nz = np.flatnonzero(any_tf > 0)
             if len(nz) > k:  # keep ties at the cut (exact global order)
                 kth = -np.partition(-score_q[nz], k - 1)[k - 1]

@@ -1048,6 +1048,72 @@ def test_bm25_matches_loop_oracle(ray_session):
         assert list(g["rank"]) == list(range(1, len(top) + 1))
 
 
+def test_bm25_multifield_matches_loop_oracle(ray_session):
+    """Multi-field boosted bm25_topk (most_fields sum) equals a per-doc
+    Python loop with per-field df/length stats; single-field call stays
+    bit-identical to fields=[(text, 1.0)]."""
+    import math
+
+    from podcast_audio_feature_extraction_ray.stages.text import bm25_topk
+
+    texts = [
+        "the quick fox of the hill",
+        "a fox",
+        "the the the of of a",
+        "nothing relevant here",
+        "of a the fox fox fox",
+    ]
+    titles = ["the fox", "a hill", "of", "misc", "fox den"]
+    docs = pa.table(
+        {"doc_id": np.arange(5, dtype=np.int64), "text": texts, "title": titles}
+    )
+    tok = lambda w: len(w) * 31 + ord(w[0])
+    queries = {0: [tok("the"), tok("of")], 1: [tok("a"), tok("fox")]}
+    fields = [("text", 2.0), ("title", 1.0)]
+    got = (
+        bm25_topk(rd.from_arrow(docs), queries, k=3, fields=fields)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    cols = {"text": texts, "title": titles}
+    toks = {c: [[tok(w) for w in t.split(" ")] for t in cols[c]] for c, _ in fields}
+    N = len(texts)
+    T = {c: sum(len(t) for t in toks[c]) for c, _ in fields}
+    want = {}
+    for qid, qterms in queries.items():
+        scores = {}
+        for d in range(N):
+            s, anytf = 0, 0
+            for term in qterms:
+                for c, boost in fields:
+                    tk = toks[c][d]
+                    tf = tk.count(term)
+                    anytf += tf
+                    df = sum(1 for t2 in toks[c] if term in t2)
+                    idf = (N - df + 0.5) / (df + 0.5)
+                    contrib = idf * (tf * 2.2) / (
+                        tf + 1.2 * (0.25 + 0.75 * (float(len(tk)) * N / T[c]))
+                    )
+                    s += math.floor(contrib * (boost * 1048576.0))
+            if anytf > 0:
+                scores[d] = s
+        want[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    for qid, top in want.items():
+        g = got[got.query_id == qid]
+        assert list(zip(g.doc_id, g.score_q)) == top
+        assert list(g["rank"]) == list(range(1, len(top) + 1))
+
+    # single-field call == explicit fields=[(text, 1.0)]
+    a = bm25_topk(rd.from_arrow(docs), queries, k=3).to_pandas()
+    b = bm25_topk(
+        rd.from_arrow(docs), queries, k=3, fields=[("text", 1.0)]
+    ).to_pandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_top_k_matches_sorted_head(ray_session):
     """T1 plain top-k (its catalog entry folded into t2_topk_backfill):
     per-batch prune + global sort equals sorted-head on any layout."""
