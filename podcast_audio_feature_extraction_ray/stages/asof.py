@@ -335,8 +335,12 @@ def backfill_join(
     (~48 B/row), and re-attaches ``bf_value``/``bf_ts`` to the pinned
     blocks zero-copy — two narrow exchanges replace one wide one. Same
     plasma-pinning trade as the segmenter's blockref: the window blocks
-    stay pinned for the stage; recovery re-derives them from read-task
-    lineage. Honest measurement (BASELINE.md): on ONE node the two modes
+    stay pinned for the stage; a killed worker mid-exchange is survived
+    by task retry (plasma outlives workers — the segmenter's equivalent
+    path is kill-tested in ``tests/test_blockref_recovery.py``), and on
+    node loss the blocks re-derive from read-task lineage (multi-node
+    only, untestable on the single-node sandbox). Honest measurement
+    (BASELINE.md): on ONE node the two modes
     tie (~3.1 vs ~3.3 s warm on 2.2M windows x 384 B payload) because
     plasma is shared memory; the mode exists for multi-node clusters,
     where the inline exchange moves the payload across the network twice

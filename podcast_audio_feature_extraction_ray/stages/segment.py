@@ -716,10 +716,16 @@ def segment_sessions(
     corpus (and one read of it) disappears vs ``sidechannel``, and the
     same materialized blocks feed hot-key discovery — exactly one scan
     of the input for the whole stage. Recovery is strictly better than
-    ``sidechannel`` (blocks re-derive from read-task lineage; a ray.put
-    does not), at the cost of losing read→tag streaming overlap (tag is
-    pointer math, so the overlap was worth little). Memory profile
-    matches ``sidechannel``: the exchange pins the payload either way.
+    ``sidechannel``: a killed WORKER mid-exchange is survived with
+    bit-identical output (task retry re-reads the still-registered
+    blocks — proven by ``tests/test_blockref_recovery.py``, which
+    SIGKILLs busy workers mid-run), and on whole-NODE loss the blocks
+    re-derive from read-task lineage where a ``ray.put`` cannot (this
+    multi-node case is by design untestable on the single-node sandbox
+    — plasma outlives workers, only node loss evicts it). Cost: losing
+    read→tag streaming overlap (tag is pointer math, so the overlap was
+    worth little). Memory profile matches ``sidechannel``: the exchange
+    pins the payload either way.
     """
     sk, ok = tuple(session_key), tuple(order_key)
     blockref = payload == "blockref" and impl == "bucket"
