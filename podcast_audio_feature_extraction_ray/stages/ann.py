@@ -24,6 +24,43 @@ import ray
 from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
 
 
+def _hash_sample(ds, id_col: str, col: str, sample_n: int) -> pd.DataFrame:
+    """Deterministic LAYOUT-INDEPENDENT bounded sample for quantizer
+    training: the ``sample_n`` rows whose ``mix64(id)`` is smallest (the
+    ``mix_sample`` hash-decision rule; mix64 is bijective, so the chosen
+    id SET is a fixed function of the corpus, not of block order). A
+    first-N ``ds.limit()`` sample degenerates on layout-clustered
+    corpora (sorted by source/time, the first rows are one modality);
+    this is one streaming pass with per-batch pruning, and the driver
+    collect is bounded by ``sample_n`` rows per block."""
+    from podcast_audio_feature_extraction_ray import hashing
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    empty_schema = {id_col: types[id_col], col: types[col], "__h": pa.int64()}
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return typed_empty_table(empty_schema)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hashing.mix64(ids.view(np.uint64)).view(np.int64)
+        t = batch.select([id_col, col])
+        if len(h) > sample_n:
+            idx = np.argpartition(h, sample_n - 1)[:sample_n]
+            idx.sort()
+            t = t.take(pa.array(idx))
+            h = h[idx]
+        return t.append_column("__h", pa.array(h))
+
+    part = ds.map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(part) == 0:
+        return part
+    part = part.sort_values(["__h", id_col], kind="mergesort").head(sample_n)
+    return part.drop(columns="__h").reset_index(drop=True)
+
+
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
@@ -218,9 +255,11 @@ def ivf_topk(
     k-means on a driver-side sample) partitions vectors into centroid
     lists; each query scores only its ``n_probe`` nearest lists.
 
-    Scale shape: centroids are trained ONCE on a bounded sample
-    (``ds.limit(sample_n)`` — a few thousand rows regardless of corpus
-    size), broadcast via ``ray.put``, and each batch does one
+    Scale shape: centroids are trained ONCE on a bounded
+    layout-independent sample (``_hash_sample`` — a few thousand rows
+    regardless of corpus size, chosen by id hash so a source-sorted
+    layout can't degenerate the quantizer), broadcast via ``ray.put``,
+    and each batch does one
     assignment matmul + one query matmul over the probed subset. The
     candidate merge sees ``<= k x n_batches`` rows per query. Recall < 1
     by design (measured in tests); every reported score is the true
@@ -229,8 +268,8 @@ def ivf_topk(
     q = np.asarray(queries, dtype=np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
 
-    # --- train coarse quantizer on a bounded sample (driver-side numpy)
-    sample = ds.limit(sample_n).select_columns([col]).to_pandas()
+    # --- train coarse quantizer on a bounded, layout-independent sample
+    sample = _hash_sample(ds, id_col, col, sample_n)
     S = np.stack([np.asarray(x, dtype=np.float64) for x in sample[col]])
     Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -418,8 +457,9 @@ def semdedup(
     """
     import ray
 
-    # --- train the coarse quantizer on a bounded sample (ivf_topk shape)
-    sample = ds.limit(sample_n).select_columns([col]).to_pandas()
+    # --- train the coarse quantizer on a bounded, layout-independent
+    # sample (ivf_topk shape)
+    sample = _hash_sample(ds, id_col, col, sample_n)
     if len(sample) == 0:
         # empty corpus: nothing to train on (a 0-row dataset's sample
         # comes back schema-less, so even the column lookup would fail)

@@ -835,6 +835,33 @@ def test_hll_distinct_accuracy_and_invariance(ray_session):
     )
 
 
+def test_hash_sample_layout_independent_and_representative(ray_session):
+    """Quantizer-training sample (_hash_sample): identical id set on any
+    block layout, and representative on a layout-clustered corpus where
+    a first-N limit() sample would see only one modality."""
+    from podcast_audio_feature_extraction_ray.stages.ann import _hash_sample
+
+    n, d = 6000, 4
+    rng = np.random.default_rng(5)
+    E = rng.normal(size=(n, d))
+    E[:3000, 0] += 10.0  # modality A occupies the FIRST half of the layout
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                pa.array(E.reshape(-1), type=pa.float64()),
+            ),
+        }
+    )
+    s1 = _hash_sample(rd.from_arrow(tbl), "vec_id", "embedding", 512)
+    s2 = _hash_sample(rd.from_arrow(tbl).repartition(13), "vec_id", "embedding", 512)
+    assert len(s1) == 512
+    assert set(s1.vec_id) == set(s2.vec_id)  # layout-independent
+    frac_a = float((s1.vec_id.to_numpy() < 3000).mean())
+    assert 0.35 < frac_a < 0.65  # both modalities present; limit() gives 1.0
+
+
 def test_semdedup_loop_oracle_and_invariance(ray_session):
     """semdedup: planted near-dup directions are dropped (smallest id
     survives), everything else kept; identical output on a different
