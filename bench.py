@@ -22,6 +22,7 @@ scaling efficiency.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -365,6 +366,33 @@ def run_bench() -> dict:
     timings["resume_noop"] = time.time() - t0
     counts["resumable_partitions"] = n_parts
     assert pending == 0, "resume found pending partitions after full write"
+
+    def _sink_bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(d, "part=*", "data.parquet"))
+        )
+
+    counts["resumable_bytes"] = _sink_bytes(res_dir)
+
+    # --- compact feature sink: the same windows written float16
+    # (mirrors the reference's float16 HDF5 storage economy,
+    # src/features/OpenSmileExtractor.py:54) — records how much the
+    # dtype knob shrinks the sink (not part of the headline sum)
+    t0 = time.time()
+    res16_dir = os.path.join(out_root, "resumable_f16")
+    win_r3 = seg.segment_rows(
+        rd.read_parquet(inp, override_num_blocks=nblocks),
+        FRAME_SPEC, key_cols=("doc_id", "source", "seq_no"),
+        with_aggregates=True, emit_tokens=False,
+    )
+    mf.write_resumable(
+        win_r3, res16_dir, key_cols=("doc_id", "source"), num_partitions=64,
+        sort_within=("doc_id", "source", "seq_no", "ts_start"),
+        feature_dtype="float16",
+    )
+    timings["resumable_write_f16"] = time.time() - t0
+    counts["resumable_bytes_f16"] = _sink_bytes(res16_dir)
 
     headline = timings["rows"] + timings["sessions"] + timings["asof"]
     segments = counts["rows"] + counts["sessions"] + counts["asof"]

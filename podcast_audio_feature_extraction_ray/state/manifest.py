@@ -70,6 +70,10 @@ def completed_partitions(out_dir: str) -> set[int]:
     return done
 
 
+_FEATURE_DTYPES = {None: None, "float64": None,
+                   "float32": "float32", "float16": "float16"}
+
+
 def write_resumable(
     ds,
     out_dir: str,
@@ -77,13 +81,31 @@ def write_resumable(
     num_partitions: int = 64,
     sort_within=("doc_id", "source", "ts_start"),
     input_lineage: list[str] | None = None,
+    feature_dtype: str | None = None,
 ):
     """Write ``ds`` as resumable hash-partitioned Parquet.
 
     Returns the number of partitions written this run. Safe to re-invoke
     after a crash: completed partitions are skipped before the exchange.
-    """
+
+    ``feature_dtype``: optional compact encoding for feature columns —
+    every float64 column is cast to ``"float32"`` or ``"float16"``
+    BEFORE the exchange (the reference stores features as float16 HDF5
+    at ~4 % of input size, ``src/features/OpenSmileExtractor.py:54``;
+    this is that storage knob, and casting early also halves/quarters
+    the shuffle bytes). Keys/ints/strings are untouched. The dtype is
+    recorded per manifest and resume refuses a mismatch — mixing widths
+    across partitions would corrupt the read schema."""
     key_cols = tuple(key_cols)
+    if feature_dtype not in _FEATURE_DTYPES:
+        raise ValueError(
+            f"feature_dtype must be one of {sorted(k for k in _FEATURE_DTYPES if k)} "
+            f"or None, got {feature_dtype!r}"
+        )
+    dtype_label = feature_dtype or "float64"
+    cast_to = {"float32": pa.float32(), "float16": pa.float16()}.get(
+        _FEATURE_DTYPES[feature_dtype] or ""
+    )
     done = completed_partitions(out_dir)
     if done:
         # layout guard: resuming with a different partitioning would
@@ -106,13 +128,16 @@ def write_resumable(
             prev.get("num_partitions") != num_partitions
             or tuple(prev.get("key_cols", ())) != key_cols
             or not hash_ok
+            or prev.get("feature_dtype", "float64") != dtype_label
         ):
             raise ValueError(
                 f"resume layout mismatch for {out_dir}: existing manifests were "
                 f"written with num_partitions={prev.get('num_partitions')} "
-                f"key_cols={prev.get('key_cols')} hash={prev.get('hash', 'pre-ckh1')}, "
+                f"key_cols={prev.get('key_cols')} hash={prev.get('hash', 'pre-ckh1')} "
+                f"feature_dtype={prev.get('feature_dtype', 'float64')}, "
                 f"this call uses num_partitions={num_partitions} "
-                f"key_cols={list(key_cols)} hash={HASH_VERSION}"
+                f"key_cols={list(key_cols)} hash={HASH_VERSION} "
+                f"feature_dtype={dtype_label}"
             )
         # no-op resume fast path: a completed run leaves a run marker
         # recording how many partitions held data; if every one of them
@@ -128,6 +153,14 @@ def write_resumable(
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
 
     def tag(batch: pa.Table) -> pa.Table:
+        if cast_to is not None:
+            # cast feature (float64) columns BEFORE the exchange: the
+            # compact bytes ride the shuffle, not just the disk
+            for i, field in enumerate(batch.schema):
+                if pa.types.is_float64(field.type):
+                    batch = batch.set_column(
+                        i, field.name, batch[field.name].cast(cast_to)
+                    )
         pid = partition_of(batch, key_cols, num_partitions)
         batch = batch.append_column("__part", pa.array(pid))
         if done:
@@ -160,6 +193,7 @@ def write_resumable(
             "key_cols": list(key_cols),
             "num_partitions": num_partitions,
             "hash": HASH_VERSION,
+            "feature_dtype": dtype_label,
             "rows_out": group.num_rows,
             "bytes_out": os.path.getsize(dst),
             "wall_time_s": round(elapsed, 4),

@@ -214,3 +214,74 @@ def test_backfill_join_rejects_unknown_payload(tiny_tokens):
     win = seg.segment_rows(ds, WindowSpec(16, 8, "frame"))
     with pytest.raises(ValueError, match="payload mode"):
         asof.backfill_join(win, ds, payload="Blockref")
+
+
+def _run_dtype(tokens, out_dir, feature_dtype=None):
+    ds = rd.from_arrow(tokens)
+    win = seg.segment_rows(
+        ds, WindowSpec(16, 8, "frame"),
+        key_cols=("doc_id", "source", "seq_no"), with_aggregates=True,
+        emit_tokens=False,
+    )
+    return mf.write_resumable(
+        win, out_dir, key_cols=("doc_id", "source"), num_partitions=8,
+        sort_within=("doc_id", "source", "seq_no", "ts_start"),
+        feature_dtype=feature_dtype,
+    )
+
+
+def test_feature_dtype_compact_sink(tiny_tokens, tmp_path):
+    """float16 feature sink: float64 columns cast before the exchange,
+    bytes shrink, values equal the float64 output cast to f16, resume
+    stays byte-identical, and dtype mismatch on resume is refused."""
+    import numpy as np
+    import pytest
+
+    full = str(tmp_path / "f64")
+    half = str(tmp_path / "f16")
+    _run_dtype(tiny_tokens, full)
+    _run_dtype(tiny_tokens, half, feature_dtype="float16")
+
+    size = lambda d: sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(d, "part=*", "data.parquet"))
+    )
+    assert size(half) < size(full)
+
+    a = rd.read_parquet(full).to_pandas().sort_values(
+        ["doc_id", "source", "seq_no", "ts_start"]).reset_index(drop=True)
+    b = rd.read_parquet(half).to_pandas().sort_values(
+        ["doc_id", "source", "seq_no", "ts_start"]).reset_index(drop=True)
+    f64_cols = [c for c in a.columns if a[c].dtype == np.float64]
+    assert f64_cols  # aggregates produce float features
+    for c in f64_cols:
+        assert b[c].dtype == np.float16
+        np.testing.assert_array_equal(
+            a[c].to_numpy().astype(np.float16), b[c].to_numpy()
+        )
+    # non-float columns untouched
+    for c in a.columns:
+        if c not in f64_cols:
+            assert a[c].dtype == b[c].dtype
+
+    # crash-resume at f16 is byte-identical
+    h_half = _hash_dir(half)
+    victims = sorted(mf.completed_partitions(half))[::2]
+    for pid in victims:
+        shutil.rmtree(os.path.join(half, f"part={pid:05d}"))
+        os.remove(os.path.join(mf.manifest_dir(half), f"part-{pid:05d}.json"))
+    n2 = _run_dtype(tiny_tokens, half, feature_dtype="float16")
+    assert n2 == len(victims)
+    assert _hash_dir(half) == h_half
+
+    # resuming with a DIFFERENT dtype must refuse
+    victims = sorted(mf.completed_partitions(half))[:1]
+    for pid in victims:
+        shutil.rmtree(os.path.join(half, f"part={pid:05d}"))
+        os.remove(os.path.join(mf.manifest_dir(half), f"part-{pid:05d}.json"))
+    with pytest.raises(ValueError, match="feature_dtype"):
+        _run_dtype(tiny_tokens, half)  # default float64 vs stored float16
+    with pytest.raises(ValueError, match="feature_dtype"):
+        mf.write_resumable(
+            rd.from_arrow(tiny_tokens), str(tmp_path / "bad"),
+            feature_dtype="float8",
+        )
