@@ -146,6 +146,23 @@ def gather_windows(
     return values[idx], seg_offsets
 
 
+def _check_functional_bounds(n_max: int, v_max: int) -> None:
+    """Exact-int64 safety for the slope intermediates: ``den =
+    n²(n²-1)/12`` (overflows near n ~ 102k regardless of values) and
+    ``|num| <= 2·n³·max(v)`` (overflows earlier for large tokens). The
+    Python/SQL oracles compute these in exact bigints, so a wrapped
+    int64 here would be a WRONG slope, not an error — raise instead.
+    Checked in exact Python ints; ~50k-token windows with 32-bit values
+    are safe, real window widths are orders of magnitude below."""
+    n = int(n_max)
+    mv = max(int(v_max), 1)
+    if n * n * (n * n - 1) // 12 >= 2**63 or 2 * n**3 * mv >= 2**63:
+        raise ValueError(
+            f"functional slope would overflow exact int64: window length {n} "
+            f"with max token value {mv}; shorten windows or disable functionals"
+        )
+
+
 def window_features_stream(
     values: np.ndarray,
     sess_bounds: np.ndarray,
@@ -258,6 +275,14 @@ def window_features_stream(
     if functionals:
         n_ = out["n_tokens"]
         s0 = out["tok_sum"]
+        _check_functional_bounds(n_.max(), out["tok_max"].max())
+        # percentile composite (win << 32) + value requires values in
+        # [0, 2^32) — negative or wider values would corrupt the sort
+        # and the mask-extracted p20/p50/p80 silently
+        if int(out["tok_min"].min()) < 0 or int(out["tok_max"].max()) >= (1 << 32):
+            raise ValueError(
+                "stream percentile encoding requires token values in [0, 2^32)"
+            )
         # slope, gather-free: Σ(i·v) over a window = reduceat(pos·v) minus
         # start·Σv (pos = buffer index; i = pos - window start). Requires
         # m · max(v) < 2^63 — true for int32 tokens and any real batch.
@@ -445,6 +470,7 @@ def window_aggregates(
     if functionals:
         # same integer-exact definitions as window_features_stream
         n_ = out["n_tokens"]
+        _check_functional_bounds(n_.max(), out["tok_max"].max())
         i_loc = np.arange(len(v), dtype=np.int64) - np.repeat(starts, lens)
         s1 = np.add.reduceat(i_loc * v, starts)
         si = n_ * (n_ - 1) // 2

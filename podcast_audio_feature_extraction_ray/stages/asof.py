@@ -469,11 +469,20 @@ def backfill_join(
 
     def merge(group: pa.Table) -> pa.Table:
         # ONE bucket holds many keys: sort by (key…, t, event-first) —
-        # events sort BEFORE windows at equal t (ts <= cutoff inclusive)
+        # events sort BEFORE windows at equal t (ts <= cutoff inclusive).
+        # "__v" is a DETERMINISTIC tie-break among duplicate (key, ts)
+        # EVENT rows: without it the winner depends on union block
+        # arrival order (run-to-run nondeterminism); with it the
+        # largest value wins. Note the broadcast path keeps the event
+        # TABLE's last row under stable sort instead — on inputs with
+        # duplicate (key, ts, differing value) events the two paths can
+        # legitimately disagree; dedupe upstream if a specific winner
+        # matters.
         order = pa.compute.sort_indices(
-            group.select([*seg_cols, "__t", "__is_ev"]),
+            group.select([*seg_cols, "__t", "__is_ev", "__v"]),
             sort_keys=[(c, "ascending") for c in seg_cols]
-            + [("__t", "ascending"), ("__is_ev", "descending")],
+            + [("__t", "ascending"), ("__is_ev", "descending"),
+               ("__v", "ascending")],
         )
         g = group.take(order)
         isev = g["__is_ev"].to_numpy(zero_copy_only=False)
@@ -574,6 +583,22 @@ def _backfill_join_blockref(
         cols["__row"] = pa.array(np.arange(n, dtype=np.int64))
         return pa.table(cols)
 
+    if len(block_refs) > 10_000:
+        # the attach closure below captures the whole ref list, so every
+        # per-block group task serializes O(n_blocks) ObjectRefs —
+        # O(n_blocks²) total; surface it before a corpus-scale caller
+        # hits it (fix: route the refs through the segmenter's
+        # _BufRegistry actor, one handle per task instead of the list)
+        import warnings
+
+        warnings.warn(
+            f"backfill_join(payload='blockref') over {len(block_refs)} window "
+            "blocks serializes the full ref list into every attach task "
+            "(O(n_blocks²) refs total); consider fewer/larger blocks or the "
+            "inline payload mode at this block count",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     meta = _rd.from_arrow_refs(
         [meta_of.remote(r, i) for i, r in enumerate(block_refs)]
     )

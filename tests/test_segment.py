@@ -410,3 +410,49 @@ def test_chunk_pointers_multichunk_sliced():
     # the sliced chunk's values buffer is the FULL child (len 6), and its
     # offsets are absolute into it
     assert len(vals[1]) == 6 and voff[3] == 1
+
+
+def test_functional_overflow_guards():
+    """Slope intermediates must RAISE (not wrap int64) on windows long
+    enough to overflow the exact math, in both kernels; the stream
+    percentile composite must reject values outside [0, 2^32)."""
+    import numpy as np
+    import pytest
+
+    from podcast_audio_feature_extraction_ray import kernels
+
+    # den = n²(n²-1)/12 overflows near n ~ 102k regardless of values
+    v = np.ones(150_000, dtype=np.int64)
+    with pytest.raises(ValueError, match="overflow"):
+        kernels.window_aggregates(
+            v, np.array([0, 150_000], dtype=np.int64), functionals=True
+        )
+    # large token values overflow num earlier
+    v2 = np.full(3000, 2**31, dtype=np.int64)
+    with pytest.raises(ValueError, match="overflow"):
+        kernels.window_aggregates(
+            v2, np.array([0, 3000], dtype=np.int64), functionals=True
+        )
+    # normal widths stay fine
+    out = kernels.window_aggregates(
+        np.arange(48, dtype=np.int64), np.array([0, 48], dtype=np.int64),
+        functionals=True,
+    )
+    assert out["tok_p50"][0] == 23
+
+    # stream path: percentile composite requires values in [0, 2^32)
+    one_win = dict(
+        sess_bounds=np.array([0, 4], dtype=np.int64),
+        sess_base_tick=np.array([0], dtype=np.int64),
+        win_sess=np.array([0], dtype=np.int64),
+        ts_start=np.array([0], dtype=np.int64),
+        slice_len=np.array([4], dtype=np.int64),
+        win_k=np.array([0], dtype=np.int64),
+        first_k=np.array([0], dtype=np.int64),
+        win_offset=np.array([0], dtype=np.int64),
+        width=4, hop=4, functionals=True,
+    )
+    with pytest.raises(ValueError, match="2\\^32"):
+        kernels.window_features_stream(
+            np.full(4, 2**32 + 5, dtype=np.int64), **one_win
+        )
