@@ -1719,14 +1719,17 @@ def curation_pipeline(sf_dir: str):
             (stop_ratio > 0.09) & (n_words >= 50)
             & (mean_word_len >= 3.0) & (mean_word_len <= 12.0)
         )
-        ids = batch["doc_id"].cast(pa.string()).to_pylist()
+        # md5 only where it can matter: the mix decision is evaluated on
+        # QUALITY-PASSING rows only (the gate fails most rows first), so
+        # the per-row digest loop runs on the survivors, not the batch
+        q_idx = np.flatnonzero(quality)
+        ids = batch["doc_id"].take(pa.array(q_idx)).cast(pa.string()).to_pylist()
         b0 = np.fromiter(
             (md5(s.encode()).digest()[0] for s in ids), np.int64, count=len(ids)
         )
-        src = batch["source"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)[q_idx]
         lim = np.where(src == "src0", 256, np.where(src == "src1", 16, 64))
-        keep = quality & (b0 < lim)
-        kept = np.flatnonzero(keep)
+        kept = q_idx[b0 < lim]
         kept_texts = batch["text"].take(pa.array(kept)).to_pylist()
         th = [md5(t.encode()).hexdigest() for t in kept_texts]
         return pa.table(
