@@ -971,14 +971,17 @@ def j4_qrels_eval(sf_dir: str):
         toks.map_batches(qrels_batch, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
     )
-    # TODO(scale): set-membership loop is bounded by |run| = 10 per query
-    # (eval-sized by construction); a sorted-array searchsorted would be
-    # the vectorized form if runs ever grow
-    rel_set = set(zip(qrels.query_id, qrels.doc_id))
-    hits = np.array(
-        [(q, d) in rel_set for q, d in zip(results.query_id, results.doc_id)],
-        dtype=np.int64,
-    )
+    # vectorized set membership: merge the (query, doc) pairs on one
+    # sorted composite key (query ids are tiny ints, doc ids int64 —
+    # qid * 2^48 + doc cannot collide for doc < 2^48)
+    enc = lambda q, d: q.astype(np.int64) * np.int64(1 << 48) + d.astype(np.int64)
+    rel_keys = np.sort(enc(qrels.query_id.to_numpy(), qrels.doc_id.to_numpy()))
+    run_keys = enc(results.query_id.to_numpy(), results.doc_id.to_numpy())
+    if len(rel_keys):
+        pos = np.clip(np.searchsorted(rel_keys, run_keys), 0, len(rel_keys) - 1)
+        hits = (rel_keys[pos] == run_keys).astype(np.int64)
+    else:
+        hits = np.zeros(len(run_keys), dtype=np.int64)
     out = (
         pd.DataFrame(
             {"query_id": results.query_id.to_numpy(), "hit": hits}
