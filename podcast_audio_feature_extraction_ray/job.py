@@ -1,0 +1,213 @@
+"""Cluster job entry point: the `ray job submit` deployment surface.
+
+The engine deploys to a fixed-size multi-node Ray cluster as a Ray JOB —
+one command that reads the pre-tokenized Parquet corpus, runs a flagship
+windowing pipeline, writes resumable per-partition output, and prints a
+one-line JSON metrics summary::
+
+    ray job submit --address http://<head>:8265 --working-dir . -- \\
+        python -m podcast_audio_feature_extraction_ray.job \\
+            --input /data/tokens --output /data/windows \\
+            --pipeline sessions --events /data/events.parquet
+
+Inside the job supervisor the runtime exports ``RAY_ADDRESS``, so the
+default ``ray.init(address=$RAY_ADDRESS)`` attaches to the submitting
+cluster; run standalone it falls back to a local session. The module
+owns its Ray session per the repo contract (only CLI entry points,
+``bench.py`` and the test fixture call ``ray.init``), and only shuts
+down a session it created — safe to call ``main()`` in-process under an
+existing session (that path is what the tests drive).
+
+Reference parity: this is the analog of the reference's batch drivers —
+``src/features/feature_extraction.py`` (podcast_processing + a YAML of
+extractor settings, run per show over the corpus) and the index/search
+CLIs — collapsed into one idempotent command. Its resume semantics are
+the reference's skip-if-output-exists rule
+(``src/features/FeatureExtractor.py:68-90``): re-submitting the SAME
+job after a crash skips completed partitions (``--pipeline rows``
+skips completed input fragments before the read even starts) and a
+fully-complete run is a sub-second no-op.
+
+Output layout (all under ``--output``):
+
+- ``windows/part=NNNNN/data.parquet``  — the windowed features, hash-
+  partitioned (sessions) or fragment-aligned (rows), each with a JSON
+  manifest carrying lineage (input fragments), row/byte counts and
+  per-partition throughput — the north-star "per-partition checkpoints
+  carrying lineage + metrics".
+- ``backfill/*.parquet``  — (only with ``--events``) the point-in-time
+  as-of attachment (win_id, bf_value, bf_ts) for every window.
+
+The summary line aggregates the per-partition manifests so an operator
+can spot stragglers (skewed sessions, slow disks) without touching the
+output directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def _parse_args(argv):
+    p = argparse.ArgumentParser(
+        prog="python -m podcast_audio_feature_extraction_ray.job",
+        description="Windowed token feature extraction as a Ray job.",
+    )
+    p.add_argument("--input", required=True,
+                   help="Parquet file or directory of the token table "
+                        "(doc_id, tokens, n_tok, source[, seq_no])")
+    p.add_argument("--output", required=True, help="output root directory")
+    p.add_argument("--pipeline", choices=("rows", "sessions"), default="rows",
+                   help="rows: stateless per-row segmentation (zero shuffle, "
+                        "fragment-aligned resume); sessions: sessionize multi-"
+                        "row streams first (one hash shuffle)")
+    p.add_argument("--window", type=int, default=96)
+    p.add_argument("--hop", type=int, default=48)
+    p.add_argument("--window-mode", choices=("frame", "segment"),
+                   default="frame")
+    p.add_argument("--emit-tokens", action="store_true",
+                   help="carry the seg_tokens list column into the output "
+                        "(default: aggregates only, the compact feature sink)")
+    p.add_argument("--feature-dtype", choices=("float32", "float16"),
+                   default=None,
+                   help="compact feature encoding on the sink (sessions "
+                        "pipeline; the reference's float16 storage knob)")
+    p.add_argument("--num-partitions", type=int, default=64,
+                   help="output hash partitions (sessions pipeline)")
+    p.add_argument("--events", default=None,
+                   help="optional events parquet (doc_id, source, ts, value) "
+                        "for a point-in-time backfill over the windows")
+    p.add_argument("--address", default=None,
+                   help="Ray address (default: $RAY_ADDRESS, else local)")
+    return p.parse_args(argv)
+
+
+def _manifest_stats(out_dir: str) -> dict:
+    """Aggregate per-partition manifests into operator-facing stats."""
+    mans = []
+    for f in sorted(glob.glob(os.path.join(out_dir, "_manifest", "part-*.json"))):
+        with open(f) as fh:
+            mans.append(json.load(fh))
+    if not mans:
+        return {"partitions": 0}
+    rps = sorted(m.get("rows_per_sec", 0.0) for m in mans)
+    worst = sorted(mans, key=lambda m: m.get("rows_per_sec", 0.0))[:3]
+    return {
+        "partitions": len(mans),
+        "rows_out": sum(m.get("rows_out", 0) for m in mans),
+        "bytes_out": sum(m.get("bytes_out", 0) for m in mans),
+        "rows_per_sec": {
+            "min": rps[0],
+            "p50": rps[len(rps) // 2],
+            "max": rps[-1],
+        },
+        "straggler_partitions": [m["partition_id"] for m in worst],
+    }
+
+
+def run_job(args) -> dict:
+    """Execute the pipeline under an ALREADY-INITIALIZED Ray session."""
+    import ray.data as rd
+
+    from podcast_audio_feature_extraction_ray.config import WindowSpec
+    from podcast_audio_feature_extraction_ray.stages import asof
+    from podcast_audio_feature_extraction_ray.stages import segment as seg
+    from podcast_audio_feature_extraction_ray.state import manifest as mf
+
+    spec = WindowSpec(window=args.window, hop=args.hop, mode=args.window_mode)
+    win_dir = os.path.join(args.output, "windows")
+    summary: dict = {
+        "pipeline": args.pipeline,
+        "input": os.path.abspath(args.input),
+        "output": os.path.abspath(args.output),
+        "spec": {"window": spec.window, "hop": spec.hop, "mode": spec.mode},
+        "wall_s": {},
+    }
+
+    inp = args.input
+    files = (
+        sorted(glob.glob(os.path.join(inp, "*.parquet")))
+        if os.path.isdir(inp) else [inp]
+    )
+    if not files:
+        raise SystemExit(f"no parquet files under {inp!r}")
+
+    t0 = time.time()
+    if args.pipeline == "rows":
+        # fragment-aligned resume: pending = input files minus completed
+        # partitions, decided BEFORE read_parquet — a resumed run's read
+        # task count is proportional to remaining work
+        n_written = mf.write_resumable_fragments(
+            files,
+            lambda b: seg.segment_batch(
+                b, spec, key_cols=("doc_id", "source", "seq_no"),
+                with_aggregates=True, emit_tokens=args.emit_tokens,
+            ),
+            win_dir,
+        )
+    else:
+        ds = rd.read_parquet(files)
+        win = seg.segment_sessions(
+            ds, spec, with_aggregates=True, emit_tokens=args.emit_tokens,
+            payload="blockref",
+        )
+        n_written = mf.write_resumable(
+            win, win_dir, key_cols=("doc_id", "source"),
+            num_partitions=args.num_partitions,
+            sort_within=("doc_id", "source", "ts_start"),
+            input_lineage=files,
+            feature_dtype=args.feature_dtype,
+        )
+    summary["wall_s"]["windows"] = round(time.time() - t0, 3)
+    summary["partitions_written_this_run"] = n_written
+    summary["windows"] = _manifest_stats(win_dir)
+
+    if args.events:
+        import pyarrow.parquet as pq
+
+        t0 = time.time()
+        events = pq.read_table(args.events)
+        win_ds = rd.read_parquet(
+            sorted(glob.glob(os.path.join(win_dir, "part=*", "data.parquet"))),
+            columns=["doc_id", "source", "win_id", "ts_end"],
+        )
+        bf = asof.backfill_broadcast(
+            win_ds, events, key=("doc_id", "source"), mode="tasks",
+        )
+        bf_dir = os.path.join(args.output, "backfill")
+        bf.write_parquet(bf_dir, compression="zstd")
+        summary["wall_s"]["backfill"] = round(time.time() - t0, 3)
+        summary["backfill_rows"] = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(bf_dir, "*.parquet"))
+        )
+    return summary
+
+
+def main(argv=None) -> dict:
+    args = _parse_args(sys.argv[1:] if argv is None else argv)
+    import ray
+
+    owned = False
+    if not ray.is_initialized():
+        ray.init(
+            address=args.address or os.environ.get("RAY_ADDRESS", "local"),
+            ignore_reinit_error=True,
+        )
+        owned = True
+    try:
+        summary = run_job(args)
+    finally:
+        if owned:
+            ray.shutdown()
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
