@@ -60,7 +60,7 @@ def _parse_args(argv):
     )
     p.add_argument("--input", required=True,
                    help="Parquet file or directory of the token table "
-                        "(doc_id, tokens, n_tok, source[, seq_no])")
+                        "(doc_id, tokens, n_tok, source, seq_no)")
     p.add_argument("--output", required=True, help="output root directory")
     p.add_argument("--pipeline", choices=("rows", "sessions"), default="rows",
                    help="rows: stateless per-row segmentation (zero shuffle, "
@@ -136,6 +136,19 @@ def run_job(args) -> dict:
     )
     if not files:
         raise SystemExit(f"no parquet files under {inp!r}")
+    # fail at submit time with a clear message, not with a KeyError in
+    # every read task: both pipelines key/order on seq_no (rows carries
+    # it as a key column; sessions sorts sessions by it)
+    import pyarrow.parquet as _pq
+
+    need = {"doc_id", "tokens", "source", "seq_no"}
+    have = set(_pq.read_schema(files[0]).names)
+    if not need <= have:
+        raise SystemExit(
+            f"input schema is missing {sorted(need - have)} "
+            f"(found {sorted(have)}); expected the token-table shape "
+            "(doc_id, tokens, n_tok, source, seq_no)"
+        )
 
     t0 = time.time()
     if args.pipeline == "rows":
@@ -168,6 +181,8 @@ def run_job(args) -> dict:
     summary["windows"] = _manifest_stats(win_dir)
 
     if args.events:
+        import shutil
+
         import pyarrow.parquet as pq
 
         t0 = time.time()
@@ -180,6 +195,10 @@ def run_job(args) -> dict:
             win_ds, events, key=("doc_id", "source"), mode="tasks",
         )
         bf_dir = os.path.join(args.output, "backfill")
+        # derived data, rebuilt whole each submit: clearing first keeps
+        # re-submission idempotent (write_parquet appends uniquely-named
+        # files, so a stale directory would double every row)
+        shutil.rmtree(bf_dir, ignore_errors=True)
         bf.write_parquet(bf_dir, compression="zstd")
         summary["wall_s"]["backfill"] = round(time.time() - t0, 3)
         summary["backfill_rows"] = sum(

@@ -146,16 +146,19 @@ def gather_windows(
     return values[idx], seg_offsets
 
 
-def _check_functional_bounds(n_max: int, v_max: int) -> None:
+def _check_functional_bounds(n_max: int, v_absmax: int) -> None:
     """Exact-int64 safety for the slope intermediates: ``den =
     n²(n²-1)/12`` (overflows near n ~ 102k regardless of values) and
-    ``|num| <= 2·n³·max(v)`` (overflows earlier for large tokens). The
+    ``|num| <= 2·n³·max|v|`` (overflows earlier for large tokens). The
     Python/SQL oracles compute these in exact bigints, so a wrapped
     int64 here would be a WRONG slope, not an error — raise instead.
-    Checked in exact Python ints; ~50k-token windows with 32-bit values
-    are safe, real window widths are orders of magnitude below."""
+    ``v_absmax`` must be the max ABSOLUTE value: an all-negative window
+    has tok_max <= 0 but the same |num| magnitude (callers pass
+    max(|tok_min|, |tok_max|)). Checked in exact Python ints; ~50k-token
+    windows with 32-bit values are safe, real window widths are orders
+    of magnitude below."""
     n = int(n_max)
-    mv = max(int(v_max), 1)
+    mv = max(int(v_absmax), 1)
     if n * n * (n * n - 1) // 12 >= 2**63 or 2 * n**3 * mv >= 2**63:
         raise ValueError(
             f"functional slope would overflow exact int64: window length {n} "
@@ -275,7 +278,10 @@ def window_features_stream(
     if functionals:
         n_ = out["n_tokens"]
         s0 = out["tok_sum"]
-        _check_functional_bounds(n_.max(), out["tok_max"].max())
+        _check_functional_bounds(
+            n_.max(),
+            max(int(out["tok_max"].max()), -int(out["tok_min"].min())),
+        )
         # percentile composite (win << 32) + value requires values in
         # [0, 2^32) — negative or wider values would corrupt the sort
         # and the mask-extracted p20/p50/p80 silently
@@ -470,7 +476,10 @@ def window_aggregates(
     if functionals:
         # same integer-exact definitions as window_features_stream
         n_ = out["n_tokens"]
-        _check_functional_bounds(n_.max(), out["tok_max"].max())
+        _check_functional_bounds(
+            n_.max(),
+            max(int(out["tok_max"].max()), -int(out["tok_min"].min())),
+        )
         i_loc = np.arange(len(v), dtype=np.int64) - np.repeat(starts, lens)
         s1 = np.add.reduceat(i_loc * v, starts)
         si = n_ * (n_ - 1) // 2

@@ -661,7 +661,7 @@ def ngram_jaccard_verify_ds(
     pairs are O(corpus) (30-50 % dup crawls), where
     ``ngram_jaccard_verify``'s broadcast-small-side assumption breaks.
 
-    Shape: pairs explode to two membership rows ``(a, b, side, __doc)``
+    Shape: pairs explode to two membership rows ``(a, b, __doc)``
     → ONE hash join co-locates each membership with its doc text (the
     only stage that moves text) → per-membership gram + presence rows
     keyed by the PAIR ITSELF ``(a, b)`` (no global pair-id assignment
@@ -681,9 +681,13 @@ def ngram_jaccard_verify_ds(
 
     if num_partitions is None:
         num_partitions = _default_join_partitions()
-    # the composed callers hand in a MATERIALIZED pairs Dataset, so this
-    # count is metadata-cheap; an empty pair list must short-circuit —
-    # the hash join below cannot plan against a schema-less empty side
+    # materialize defensively: the count below plus the explode scan
+    # would otherwise execute a LAZY pairs pipeline twice (the LSH
+    # banding is the expensive stage); for the composed callers' already-
+    # materialized input this is a metadata no-op. An empty pair list
+    # must short-circuit — the hash join below cannot plan against a
+    # schema-less empty side
+    pairs = pairs.materialize()
     if pairs.count() == 0:
         import ray.data as _rd
 
@@ -694,8 +698,7 @@ def ngram_jaccard_verify_ds(
             )
         )
     _MEM_SCHEMA = {
-        "pr_a": pa.int64(), "pr_b": pa.int64(),
-        "side": pa.int64(), "__doc": pa.int64(),
+        "pr_a": pa.int64(), "pr_b": pa.int64(), "__doc": pa.int64(),
     }
     _ROW_SCHEMA = {
         "__cb": pa.int64(), "pr_a": pa.int64(), "pr_b": pa.int64(),
@@ -707,14 +710,14 @@ def ngram_jaccard_verify_ds(
             return typed_empty_table(_MEM_SCHEMA)
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = len(a)
+        # no side tag: count_group recovers pairs as (a, b) runs and
+        # needs only which grams/presence rows landed in the run, not
+        # which membership produced them — a side column would ride the
+        # join exchange (the widest stage) dead
         return pa.table(
             {
                 "pr_a": pa.array(np.concatenate([a, a])),
                 "pr_b": pa.array(np.concatenate([b, b])),
-                "side": pa.array(
-                    np.repeat(np.array([0, 1], dtype=np.int64), m)
-                ),
                 "__doc": pa.array(np.concatenate([a, b])),
             }
         )

@@ -563,6 +563,14 @@ def bm25_topk(
     total_toks = np.array(
         [int(lut[(fi, -2)]) for fi in range(len(fields))], dtype=np.int64
     )
+    for fi, (col, _boost) in enumerate(fields):
+        # fail loudly: a zero-token field makes the length norm 0/0 (nan
+        # contribs -> garbage int64 scores) and diverges from the SQL
+        # oracle, so it is a caller error, not a degenerate-input case
+        if total_toks[fi] <= 0:
+            raise ValueError(
+                f"bm25_topk: field {col!r} has zero tokens across the corpus"
+            )
     df_arr = np.array(
         [[int(lut.get((fi, int(t)), 0)) for t in terms] for fi in range(len(fields))],
         dtype=np.int64,

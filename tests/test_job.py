@@ -83,3 +83,20 @@ def test_sessions_job_with_backfill(token_dir, tmp_path):
     from podcast_audio_feature_extraction_ray.state import manifest as mf
 
     assert mf.read_output(os.path.join(out, "windows")).count() == s["windows"]["rows_out"]
+
+    # re-submit with --events: windows no-op AND backfill is rebuilt, not
+    # appended — row count must not double
+    s2 = _run([
+        "--input", tok, "--output", out,
+        "--pipeline", "sessions", "--num-partitions", "8",
+        "--events", events,
+    ])
+    assert s2["partitions_written_this_run"] == 0
+    assert s2["backfill_rows"] == s["backfill_rows"]
+
+
+def test_job_rejects_wrong_schema(token_dir, tmp_path):
+    _, events = token_dir
+    out = str(tmp_path / "out")
+    with pytest.raises(SystemExit, match="seq_no"):
+        _run(["--input", events, "--output", out, "--pipeline", "rows"])

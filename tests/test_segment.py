@@ -433,6 +433,13 @@ def test_functional_overflow_guards():
         kernels.window_aggregates(
             v2, np.array([0, 3000], dtype=np.int64), functionals=True
         )
+    # ...and so do large NEGATIVE values (tok_max <= 0, so the bound must
+    # come from |tok_min| — a max(v)-only guard would silently wrap num)
+    v2n = np.full(3000, -(2**31), dtype=np.int64)
+    with pytest.raises(ValueError, match="overflow"):
+        kernels.window_aggregates(
+            v2n, np.array([0, 3000], dtype=np.int64), functionals=True
+        )
     # normal widths stay fine
     out = kernels.window_aggregates(
         np.arange(48, dtype=np.int64), np.array([0, 48], dtype=np.int64),

@@ -1075,6 +1075,37 @@ def test_bm25_matches_loop_oracle(ray_session):
         assert list(g["rank"]) == list(range(1, len(top) + 1))
 
 
+def test_bm25_all_empty_field_stays_finite(ray_session):
+    """An all-empty/null boosted field must not corrupt scores: the
+    tokenizer maps "" and null to one id-0 token, so the field's length
+    norm stays finite (T_f >= n_docs > 0; a zero-token field would be
+    0/0 -> nan contribs -> garbage int64, guarded by a ValueError in
+    bm25_topk). Scores must equal the text-only field scaled by its
+    boost, since id 0 never matches a query term."""
+    from podcast_audio_feature_extraction_ray.stages.text import bm25_topk
+
+    docs = pa.table(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["a b c", "b c", "c"],
+            "empty_col": ["", None, ""],
+        }
+    )
+    q = {0: [128]}  # tok('a')
+    two = (
+        bm25_topk(rd.from_arrow(docs), q, k=3,
+                  fields=[("text", 2.0), ("empty_col", 1.0)])
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    one = (
+        bm25_topk(rd.from_arrow(docs), q, k=3, fields=[("text", 2.0)])
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert list(two.doc_id) == list(one.doc_id)
+    assert list(two.score_q) == list(one.score_q)
+    assert (two.score_q > 0).all()
+
+
 def test_bm25_multifield_matches_loop_oracle(ray_session):
     """Multi-field boosted bm25_topk (most_fields sum) equals a per-doc
     Python loop with per-field df/length stats; single-field call stays
