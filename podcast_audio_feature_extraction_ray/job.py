@@ -163,6 +163,15 @@ def run_job(args) -> dict:
             ),
             win_dir,
         )
+    elif mf.resume_complete(
+        win_dir, key_cols=("doc_id", "source"),
+        num_partitions=args.num_partitions,
+        feature_dtype=args.feature_dtype,
+    ):
+        # idempotent re-submit: the run marker says every partition is
+        # done, so skip pipeline CONSTRUCTION too (no read tasks, no
+        # exchange actors — a sub-second no-op on the cluster)
+        n_written = 0
     else:
         ds = rd.read_parquet(files)
         win = seg.segment_sessions(

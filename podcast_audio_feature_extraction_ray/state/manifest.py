@@ -74,6 +74,69 @@ _FEATURE_DTYPES = {None: None, "float64": None,
                    "float32": "float32", "float16": "float16"}
 
 
+def resume_complete(
+    out_dir: str,
+    key_cols=("doc_id", "source"),
+    num_partitions: int = 64,
+    feature_dtype: str | None = None,
+) -> bool:
+    """True iff a prior run of the SAME layout finished completely.
+
+    Public no-op-resume probe: ``job.py`` (and any caller) can skip
+    pipeline construction entirely — no ``read_parquet``, no exchange —
+    when this returns True. Two checks, in order:
+
+    1. **Layout guard** (raises ``ValueError``): if any manifests exist,
+       a sample manifest's recorded ``num_partitions``/``key_cols``/
+       hash version/``feature_dtype`` must match this call — resuming
+       with a different partitioning would silently drop rows whose
+       new-layout pid collides with an old completed pid, so we refuse.
+    2. **Run marker**: a completed run leaves ``_run_complete.json``
+       recording how many partitions held data; if every one of them
+       still has its manifest there is nothing pending (a crashed run
+       has no marker and resumes normally ⇒ False).
+    """
+    key_cols = tuple(key_cols)
+    dtype_label = feature_dtype or "float64"
+    done = completed_partitions(out_dir)
+    if not done:
+        return False
+    mdir = manifest_dir(out_dir)
+    sample = sorted(
+        f for f in os.listdir(mdir) if f.startswith("part-") and f.endswith(".json")
+    )[0]
+    with open(os.path.join(mdir, sample)) as fh:
+        prev = json.load(fh)
+    prev_hash = prev.get("hash", "pre-ckh1")
+    # single-column keys hash identically under every combine version
+    # (the combine only touches column 2+), so pre-upgrade layouts
+    # with one key column stay resumable
+    hash_ok = prev_hash == HASH_VERSION or (
+        prev_hash == "pre-ckh1" and len(key_cols) == 1
+    )
+    if (
+        prev.get("num_partitions") != num_partitions
+        or tuple(prev.get("key_cols", ())) != key_cols
+        or not hash_ok
+        or prev.get("feature_dtype", "float64") != dtype_label
+    ):
+        raise ValueError(
+            f"resume layout mismatch for {out_dir}: existing manifests were "
+            f"written with num_partitions={prev.get('num_partitions')} "
+            f"key_cols={prev.get('key_cols')} hash={prev.get('hash', 'pre-ckh1')} "
+            f"feature_dtype={prev.get('feature_dtype', 'float64')}, "
+            f"this call uses num_partitions={num_partitions} "
+            f"key_cols={list(key_cols)} hash={HASH_VERSION} "
+            f"feature_dtype={dtype_label}"
+        )
+    marker = os.path.join(mdir, "_run_complete.json")
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as fh:
+        mk = json.load(fh)
+    return mk.get("n_manifests") == len(done)
+
+
 def write_resumable(
     ds,
     out_dir: str,
@@ -106,50 +169,12 @@ def write_resumable(
     cast_to = {"float32": pa.float32(), "float16": pa.float16()}.get(
         _FEATURE_DTYPES[feature_dtype] or ""
     )
+    if resume_complete(
+        out_dir, key_cols=key_cols, num_partitions=num_partitions,
+        feature_dtype=feature_dtype,
+    ):
+        return 0
     done = completed_partitions(out_dir)
-    if done:
-        # layout guard: resuming with a different partitioning would
-        # silently drop rows whose new-layout pid collides with an old
-        # completed pid — refuse instead
-        mdir = manifest_dir(out_dir)
-        sample = sorted(
-            f for f in os.listdir(mdir) if f.startswith("part-") and f.endswith(".json")
-        )[0]
-        with open(os.path.join(mdir, sample)) as fh:
-            prev = json.load(fh)
-        prev_hash = prev.get("hash", "pre-ckh1")
-        # single-column keys hash identically under every combine version
-        # (the combine only touches column 2+), so pre-upgrade layouts
-        # with one key column stay resumable
-        hash_ok = prev_hash == HASH_VERSION or (
-            prev_hash == "pre-ckh1" and len(key_cols) == 1
-        )
-        if (
-            prev.get("num_partitions") != num_partitions
-            or tuple(prev.get("key_cols", ())) != key_cols
-            or not hash_ok
-            or prev.get("feature_dtype", "float64") != dtype_label
-        ):
-            raise ValueError(
-                f"resume layout mismatch for {out_dir}: existing manifests were "
-                f"written with num_partitions={prev.get('num_partitions')} "
-                f"key_cols={prev.get('key_cols')} hash={prev.get('hash', 'pre-ckh1')} "
-                f"feature_dtype={prev.get('feature_dtype', 'float64')}, "
-                f"this call uses num_partitions={num_partitions} "
-                f"key_cols={list(key_cols)} hash={HASH_VERSION} "
-                f"feature_dtype={dtype_label}"
-            )
-        # no-op resume fast path: a completed run leaves a run marker
-        # recording how many partitions held data; if every one of them
-        # still has its manifest there is nothing pending and the input
-        # pipeline is NEVER re-executed (input-fragment exclusion at its
-        # strongest; a crashed run has no marker and resumes normally)
-        marker = os.path.join(manifest_dir(out_dir), "_run_complete.json")
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                mk = json.load(fh)
-            if mk.get("n_manifests") == len(done):
-                return 0
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
 
     def tag(batch: pa.Table) -> pa.Table:
