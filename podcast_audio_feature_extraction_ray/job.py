@@ -76,15 +76,75 @@ def _parse_args(argv):
     p.add_argument("--feature-dtype", choices=("float32", "float16"),
                    default=None,
                    help="compact feature encoding on the sink (sessions "
-                        "pipeline; the reference's float16 storage knob)")
-    p.add_argument("--num-partitions", type=int, default=64,
-                   help="output hash partitions (sessions pipeline)")
+                        "pipeline only; the reference's float16 storage knob)")
+    p.add_argument("--num-partitions", type=int, default=None,
+                   help="output hash partitions (sessions pipeline only; "
+                        "default 64)")
     p.add_argument("--events", default=None,
                    help="optional events parquet (doc_id, source, ts, value) "
-                        "for a point-in-time backfill over the windows")
+                        "for a point-in-time backfill over the windows "
+                        "(sessions pipeline only: rows-pipeline window "
+                        "timestamps are fragment-local, so a stream-global "
+                        "event time axis cannot attach to them)")
     p.add_argument("--address", default=None,
                    help="Ray address (default: $RAY_ADDRESS, else local)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.pipeline == "rows":
+        # refuse sessions-only knobs instead of silently ignoring them:
+        # an operator who asked for float16 must not get 4x the bytes
+        for flag, val in (("--feature-dtype", args.feature_dtype),
+                          ("--num-partitions", args.num_partitions),
+                          ("--events", args.events)):
+            if val is not None:
+                p.error(f"{flag} requires --pipeline sessions "
+                        "(the rows pipeline is fragment-aligned: its "
+                        "partitioning mirrors the input files and its "
+                        "window timestamps are fragment-local)")
+    if args.num_partitions is None:
+        args.num_partitions = 64
+    return args
+
+
+def _check_job_spec(args) -> None:
+    """Refuse a re-submit whose geometry differs from the output's.
+
+    The per-partition manifests guard the SINK layout (partition count,
+    key columns, dtype), but not the WINDOW geometry: a re-submit of the
+    same --output with a different --window/--hop/--window-mode/
+    --emit-tokens — or the other pipeline, whose partitioning scheme is
+    incompatible — would no-op against (or interleave with) data of the
+    old shape and silently mislabel it. A job-level spec marker at the
+    output root records the geometry on first submit; later submits
+    must match or choose a fresh --output."""
+    spec_path = os.path.join(args.output, "_job_spec.json")
+    spec = {
+        "pipeline": args.pipeline,
+        "window": args.window,
+        "hop": args.hop,
+        "window_mode": args.window_mode,
+        "emit_tokens": bool(args.emit_tokens),
+        "feature_dtype": args.feature_dtype,
+        "num_partitions": args.num_partitions,
+    }
+    if os.path.exists(spec_path):
+        with open(spec_path) as fh:
+            prev = json.load(fh)
+        if prev != spec:
+            diffs = sorted(
+                k for k in spec if prev.get(k, object()) != spec[k]
+            )
+            raise SystemExit(
+                f"job spec mismatch for {args.output!r} on {diffs}: "
+                f"existing output was written with {prev}, this submit "
+                f"asks for {spec}; resume must use the same geometry, or "
+                "point --output at a fresh directory"
+            )
+        return
+    os.makedirs(args.output, exist_ok=True)
+    tmp = spec_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh)
+    os.replace(tmp, spec_path)
 
 
 def _manifest_stats(out_dir: str) -> dict:
@@ -119,6 +179,7 @@ def run_job(args) -> dict:
     from podcast_audio_feature_extraction_ray.stages import segment as seg
     from podcast_audio_feature_extraction_ray.state import manifest as mf
 
+    _check_job_spec(args)
     spec = WindowSpec(window=args.window, hop=args.hop, mode=args.window_mode)
     win_dir = os.path.join(args.output, "windows")
     summary: dict = {

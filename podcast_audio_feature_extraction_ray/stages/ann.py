@@ -31,8 +31,11 @@ def _hash_sample(ds, id_col: str, col: str, sample_n: int) -> pd.DataFrame:
     id SET is a fixed function of the corpus, not of block order). A
     first-N ``ds.limit()`` sample degenerates on layout-clustered
     corpora (sorted by source/time, the first rows are one modality);
-    this is one streaming pass with per-batch pruning, and the driver
-    collect is bounded by ``sample_n`` rows per block."""
+    this is one streaming pass with per-batch pruning, then a
+    distributed sort+limit over the survivors, so the DRIVER collect is
+    exactly ``sample_n`` rows regardless of block count (a naive
+    collect-all-survivors would be O(sample_n x n_blocks) on the driver
+    — tens of GB of embeddings at corpus block counts)."""
     from podcast_audio_feature_extraction_ray import hashing
 
     sch = ds.schema()
@@ -52,12 +55,14 @@ def _hash_sample(ds, id_col: str, col: str, sample_n: int) -> pd.DataFrame:
             h = h[idx]
         return t.append_column("__h", pa.array(h))
 
-    part = ds.map_batches(
-        prune, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    part = (
+        ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["__h", id_col])
+        .limit(sample_n)
+        .to_pandas()
+    )
     if len(part) == 0:
         return part
-    part = part.sort_values(["__h", id_col], kind="mergesort").head(sample_n)
     return part.drop(columns="__h").reset_index(drop=True)
 
 

@@ -653,13 +653,20 @@ def ngram_jaccard_verify_ds(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    n_coarse: int = 256,
+    n_coarse: int | None = None,
     num_partitions: int | None = None,
 ):
     """Distributed exact n-gram Jaccard verification of a candidate-pair
     DATASET — the no-driver-collect path for corpora where near-dup
     pairs are O(corpus) (30-50 % dup crawls), where
     ``ngram_jaccard_verify``'s broadcast-small-side assumption breaks.
+
+    ``n_coarse`` (default: scaled from the pair count) bounds the rows
+    one counting task must hold: each coarse group sees ~1/n_coarse of
+    every exploded gram row, so a FIXED bucket count would concentrate
+    tens of GB per task at crawl-scale pair counts. The default targets
+    ~2k pairs' gram rows per group (floor 256), so group size stays
+    roughly constant as pairs grow.
 
     Shape: pairs explode to two membership rows ``(a, b, __doc)``
     → ONE hash join co-locates each membership with its doc text (the
@@ -688,7 +695,8 @@ def ngram_jaccard_verify_ds(
     # must short-circuit — the hash join below cannot plan against a
     # schema-less empty side
     pairs = pairs.materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         import ray.data as _rd
 
         return _rd.from_arrow(
@@ -697,6 +705,8 @@ def ngram_jaccard_verify_ds(
                  "inter_n": pa.int64(), "union_n": pa.int64()}
             )
         )
+    if n_coarse is None:
+        n_coarse = max(256, n_pairs // 2_000)
     _MEM_SCHEMA = {
         "pr_a": pa.int64(), "pr_b": pa.int64(), "__doc": pa.int64(),
     }

@@ -381,7 +381,34 @@ def write_resumable_fragments(
         .groupby("__part")
         .map_groups(write_group, batch_format="pyarrow")
     )
-    return written.count()
+    n = written.count()
+    # a fragment whose rows all segment to ZERO windows never reaches
+    # write_group (the groupby has no group for it), so without a
+    # manifest it would stay "pending" forever and every resume would
+    # re-read and re-segment it. The pipeline completing without raising
+    # means every pending fragment WAS processed — record the empty ones
+    # so a finished run's resume is the advertised no-op.
+    done_now = completed_partitions(out_dir)
+    for pid in pending:
+        if pid in done_now:
+            continue
+        man = {
+            "partition_id": pid,
+            "key_cols": [],
+            "num_partitions": n_files,
+            "rows_out": 0,
+            "bytes_out": 0,
+            "wall_time_s": 0.0,
+            "rows_per_sec": 0.0,
+            "input_lineage": [files[pid]],
+        }
+        mtmp = os.path.join(manifest_dir(out_dir), f".part-{pid:05d}.tmp")
+        mdst = os.path.join(manifest_dir(out_dir), f"part-{pid:05d}.json")
+        with open(mtmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(mtmp, mdst)
+        n += 1
+    return n
 
 
 def read_output(out_dir: str):

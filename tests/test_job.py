@@ -100,3 +100,35 @@ def test_job_rejects_wrong_schema(token_dir, tmp_path):
     out = str(tmp_path / "out")
     with pytest.raises(SystemExit, match="seq_no"):
         _run(["--input", events, "--output", out, "--pipeline", "rows"])
+
+
+def test_job_refuses_spec_change_on_resubmit(token_dir, tmp_path):
+    """A re-submit with a different window geometry must refuse, not
+    silently no-op against (or interleave with) old-shape output."""
+    tok, _ = token_dir
+    out = str(tmp_path / "out")
+    _run(["--input", tok, "--output", out, "--pipeline", "rows"])
+    with pytest.raises(SystemExit, match="spec mismatch.*window"):
+        _run(["--input", tok, "--output", out, "--pipeline", "rows",
+              "--window", "48"])
+    # ... and the OTHER pipeline over the same output is a layout change
+    with pytest.raises(SystemExit, match="spec mismatch.*pipeline"):
+        _run(["--input", tok, "--output", out, "--pipeline", "sessions"])
+    # same geometry still resumes as a no-op
+    s = _run(["--input", tok, "--output", out, "--pipeline", "rows"])
+    assert s["partitions_written_this_run"] == 0
+
+
+def test_job_refuses_sessions_only_flags_with_rows(token_dir, tmp_path):
+    """--feature-dtype / --num-partitions / --events are sessions-only:
+    silently ignoring them would hand back 4x the bytes (dtype) or
+    fragment-local-timestamp backfill values (events)."""
+    tok, events = token_dir
+    out = str(tmp_path / "out")
+    for extra in (["--feature-dtype", "float16"],
+                  ["--num-partitions", "8"],
+                  ["--events", events]):
+        with pytest.raises(SystemExit):
+            _run(["--input", tok, "--output", out, "--pipeline", "rows",
+                  *extra])
+    assert not os.path.exists(out)  # refused before touching the output

@@ -152,6 +152,58 @@ def test_fragment_resume_reads_only_pending(tiny_tokens, tmp_path):
     assert mf.write_resumable_fragments(files, batch_fn, crash, sort_within=sortw) == 0
 
 
+def test_zero_row_fragment_gets_manifest(tiny_tokens, tmp_path):
+    """A fragment whose rows all segment to zero windows must still get
+    a (rows_out=0) manifest: without one it stays pending forever and
+    every resume of a FINISHED run re-reads and re-segments it — the
+    job's sub-second-no-op contract would never be reached."""
+    import pyarrow as pa
+
+    spec = WindowSpec(16, 8, "frame")
+
+    def batch_fn(b: pa.Table) -> pa.Table:
+        return seg.segment_batch(
+            b, spec, key_cols=("doc_id", "source", "seq_no"),
+            with_aggregates=True, emit_tokens=False,
+        )
+
+    frag_dir = tmp_path / "frags"
+    os.makedirs(frag_dir)
+    # fragment 1 holds only empty token lists -> zero windows out
+    empty = pa.table(
+        {
+            "doc_id": pa.array(["ed1", "ed2"]),
+            "tokens": pa.array([[], []], type=tiny_tokens["tokens"].type),
+            "n_tok": pa.array([0, 0], type=pa.int64()),
+            "source": pa.array(["s", "s"]),
+            "seq_no": pa.array([0, 0], type=pa.int64()),
+        }
+    ).select(tiny_tokens.column_names).cast(tiny_tokens.schema)
+    half = tiny_tokens.num_rows // 2
+    frags = [tiny_tokens.slice(0, half), empty, tiny_tokens.slice(half)]
+    files = []
+    for i, t in enumerate(frags):
+        p = str(frag_dir / f"f{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+
+    sortw = ("doc_id", "source", "seq_no", "ts_start")
+    out = str(tmp_path / "out")
+    assert mf.write_resumable_fragments(files, batch_fn, out, sort_within=sortw) == 3
+    # the empty fragment: manifest yes, data file no
+    man = os.path.join(out, "_manifest", "part-00001.json")
+    assert os.path.exists(man)
+    import json as _json
+
+    m = _json.load(open(man))
+    assert m["rows_out"] == 0 and m["input_lineage"] == [files[1]]
+    assert not os.path.exists(os.path.join(out, "part=00001", "data.parquet"))
+    # finished run -> nothing pending, resume is a true no-op
+    assert mf.pending_fragments(files, out) == []
+    assert mf.write_resumable_fragments(files, batch_fn, out, sort_within=sortw) == 0
+    assert mf.read_output(out).count() > 0
+
+
 def test_resume_hash_version_mismatch_refused(tiny_tokens, tmp_path):
     """Output written with an OLDER partition-hash (manifests lacking the
     hash field) must be refused — resuming onto it with the current hash
