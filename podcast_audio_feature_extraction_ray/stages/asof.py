@@ -336,8 +336,9 @@ def backfill_join(
     blocks zero-copy — two narrow exchanges replace one wide one. Same
     plasma-pinning trade as the segmenter's blockref: the window blocks
     stay pinned for the stage; a killed worker mid-exchange is survived
-    by task retry (plasma outlives workers — the segmenter's equivalent
-    path is kill-tested in ``tests/test_blockref_recovery.py``), and on
+    by task retry (plasma outlives workers — kill-tested for THIS path in
+    ``tests/test_blockref_recovery.py::test_asof_blockref_survives_worker_kill``,
+    bit-identical output through three SIGKILLed workers), and on
     node loss the blocks re-derive from read-task lineage (multi-node
     only, untestable on the single-node sandbox). Honest measurement
     (BASELINE.md): on ONE node the two modes
