@@ -539,8 +539,12 @@ def _backfill_join_blockref(
     attach results to the pinned window blocks (see the caller's
     docstring). Output column set and values are identical to inline
     mode; only the exchange payload differs. The per-task closure holds
-    one ObjectRef per window block (~100 B each) — at extreme block
-    counts move the list behind the segmenter's ``_BufRegistry`` actor.
+    one ObjectRef per window block (~100 B each); past
+    ``TOKWIN_ASOF_REGISTRY_MIN`` blocks (default 10,000) the list moves
+    behind the segmenter's ``_BufRegistry`` actor and each attach task
+    fetches only ITS block's ref — one num_cpus=0 actor RPC per block
+    instead of O(n_blocks) refs serialized into every task closure
+    (O(n_blocks²) total).
     """
     import ray as _ray
     import ray.data as _rd
@@ -584,21 +588,24 @@ def _backfill_join_blockref(
         cols["__row"] = pa.array(np.arange(n, dtype=np.int64))
         return pa.table(cols)
 
-    if len(block_refs) > 10_000:
-        # the attach closure below captures the whole ref list, so every
-        # per-block group task serializes O(n_blocks) ObjectRefs —
-        # O(n_blocks²) total; surface it before a corpus-scale caller
-        # hits it (fix: route the refs through the segmenter's
-        # _BufRegistry actor, one handle per task instead of the list)
-        import warnings
+    import os as _os
 
-        warnings.warn(
-            f"backfill_join(payload='blockref') over {len(block_refs)} window "
-            "blocks serializes the full ref list into every attach task "
-            "(O(n_blocks²) refs total); consider fewer/larger blocks or the "
-            "inline payload mode at this block count",
-            RuntimeWarning,
-            stacklevel=3,
+    registry = None
+    registry_min = int(_os.environ.get("TOKWIN_ASOF_REGISTRY_MIN") or 10_000)
+    if len(block_refs) > registry_min:
+        # small block counts capture the ref list directly (zero extra
+        # RPCs); past the threshold every attach task would serialize
+        # O(n_blocks) refs — O(n_blocks²) total — so park the list on a
+        # bookkeeping actor and let each task fetch its ONE ref. The
+        # handle in the closure also keeps the actor (and its pins)
+        # alive exactly as long as the plan's closures.
+        from podcast_audio_feature_extraction_ray.stages.segment import _BufRegistry
+
+        registry = _ray.remote(num_cpus=0)(_BufRegistry).remote()
+        _ray.get(
+            registry.register_many.remote(
+                list(range(len(block_refs))), [[r] for r in block_refs]
+            )
         )
     meta = _rd.from_arrow_refs(
         [meta_of.remote(r, i) for i, r in enumerate(block_refs)]
@@ -610,6 +617,8 @@ def _backfill_join_blockref(
         chunk_rows=chunk_rows, merge_buckets=merge_buckets,
     )
 
+    refs_capture = block_refs if registry is None else None
+
     def attach(group: pa.Table) -> pa.Table:
         # every window row survives the merge exactly once, so the
         # sorted row ids ARE the block's original row order — append the
@@ -617,7 +626,11 @@ def _backfill_join_blockref(
         blk = int(group["__blk"][0].as_py())
         order = pa.compute.sort_indices(group["__row"])
         g = group.take(order)
-        tbl: pa.Table = _ray.get(block_refs[blk])
+        if refs_capture is not None:
+            ref = refs_capture[blk]
+        else:
+            ref = _ray.get(registry.fetch.remote([blk]))[0]
+        tbl: pa.Table = _ray.get(ref)
         if g.num_rows != tbl.num_rows:  # pragma: no cover — invariant
             raise AssertionError(
                 f"blockref attach: {g.num_rows} merge rows for a "

@@ -255,3 +255,28 @@ def test_backfill_join_blockref_list_payload(windows_and_events):
             assert all(np.array_equal(x, y) for x, y in zip(a, b))
         else:
             pd.testing.assert_series_equal(a, b, check_names=False)
+
+
+def test_backfill_join_blockref_registry_path(windows_and_events, monkeypatch):
+    """Past TOKWIN_ASOF_REGISTRY_MIN blocks the attach tasks fetch their
+    block ref from a _BufRegistry actor instead of a captured list;
+    force the threshold to 0 so the registry path runs at test scale and
+    assert it is bit-identical to the direct-capture path."""
+    win_ds, events, _ = windows_and_events
+    direct = asof.backfill_join(
+        win_ds, rd.from_arrow(events), payload="blockref"
+    ).to_pandas()
+    monkeypatch.setenv("TOKWIN_ASOF_REGISTRY_MIN", "0")
+    reg = asof.backfill_join(
+        win_ds, rd.from_arrow(events), payload="blockref"
+    ).to_pandas()
+    assert sorted(direct.columns) == sorted(reg.columns)
+    key = ["doc_id", "source", "win_id"]
+    direct = direct.sort_values(key).reset_index(drop=True)
+    reg = reg.sort_values(key).reset_index(drop=True)
+    for c in direct.columns:
+        a, b = direct[c], reg[c]
+        if c == "seg_tokens":
+            assert all(np.array_equal(x, y) for x, y in zip(a, b))
+        else:
+            pd.testing.assert_series_equal(a, b, check_names=False)
