@@ -119,6 +119,10 @@ def _check_job_spec(args) -> None:
     spec_path = os.path.join(args.output, "_job_spec.json")
     spec = {
         "pipeline": args.pipeline,
+        # input identity: the sessions run-complete marker would
+        # otherwise make a re-submit with a DIFFERENT --input a silent
+        # successful no-op whose summary claims the new input
+        "input": os.path.abspath(args.input),
         "window": args.window,
         "hop": args.hop,
         "window_mode": args.window_mode,
@@ -155,19 +159,24 @@ def _manifest_stats(out_dir: str) -> dict:
             mans.append(json.load(fh))
     if not mans:
         return {"partitions": 0}
-    rps = sorted(m.get("rows_per_sec", 0.0) for m in mans)
-    worst = sorted(mans, key=lambda m: m.get("rows_per_sec", 0.0))[:3]
-    return {
+    stats = {
         "partitions": len(mans),
         "rows_out": sum(m.get("rows_out", 0) for m in mans),
         "bytes_out": sum(m.get("bytes_out", 0) for m in mans),
-        "rows_per_sec": {
+    }
+    # empty partitions (zero-window fragments) did no work: ranking them
+    # as "stragglers" (rows_per_sec 0.0) would hide the actual slow ones
+    busy = [m for m in mans if m.get("rows_out", 0) > 0]
+    if busy:
+        rps = sorted(m.get("rows_per_sec", 0.0) for m in busy)
+        worst = sorted(busy, key=lambda m: m.get("rows_per_sec", 0.0))[:3]
+        stats["rows_per_sec"] = {
             "min": rps[0],
             "p50": rps[len(rps) // 2],
             "max": rps[-1],
-        },
-        "straggler_partitions": [m["partition_id"] for m in worst],
-    }
+        }
+        stats["straggler_partitions"] = [m["partition_id"] for m in worst]
+    return stats
 
 
 def run_job(args) -> dict:
@@ -179,7 +188,6 @@ def run_job(args) -> dict:
     from podcast_audio_feature_extraction_ray.stages import segment as seg
     from podcast_audio_feature_extraction_ray.state import manifest as mf
 
-    _check_job_spec(args)
     spec = WindowSpec(window=args.window, hop=args.hop, mode=args.window_mode)
     win_dir = os.path.join(args.output, "windows")
     summary: dict = {
@@ -203,6 +211,11 @@ def run_job(args) -> dict:
     import pyarrow.parquet as _pq
 
     need = {"doc_id", "tokens", "source", "seq_no"}
+    if args.pipeline == "sessions":
+        # the sessionizer's metadata pre-pass selects n_tok explicitly
+        # (stages/segment.py select_columns) — catch its absence here,
+        # not inside distributed read tasks after the cluster spun up
+        need.add("n_tok")
     have = set(_pq.read_schema(files[0]).names)
     if not need <= have:
         raise SystemExit(
@@ -210,6 +223,9 @@ def run_job(args) -> dict:
             f"(found {sorted(have)}); expected the token-table shape "
             "(doc_id, tokens, n_tok, source, seq_no)"
         )
+    # validate input BEFORE writing the spec marker: a typo'd submit must
+    # not pin the geometry of an (empty) output directory
+    _check_job_spec(args)
 
     t0 = time.time()
     if args.pipeline == "rows":
@@ -223,6 +239,10 @@ def run_job(args) -> dict:
                 with_aggregates=True, emit_tokens=args.emit_tokens,
             ),
             win_dir,
+            # seq_no is load-bearing: segment_batch restarts ts_start at
+            # 0 per row, so without it the sort key is not a total order
+            # and crash-resume bytes would depend on shuffle arrival order
+            sort_within=("doc_id", "source", "seq_no", "ts_start"),
         )
     elif mf.resume_complete(
         win_dir, key_cols=("doc_id", "source"),

@@ -416,7 +416,7 @@ def _pair_driver_max() -> int:
     crawl at corpus scale crosses it and runs distributed."""
     import os
 
-    return int(os.environ.get("TOKWIN_PAIR_DRIVER_MAX", 5_000_000))
+    return int(os.environ.get("TOKWIN_PAIR_DRIVER_MAX") or 5_000_000)
 
 
 def dedup_minhash_lsh(sf_dir: str):

@@ -387,10 +387,15 @@ def write_resumable_fragments(
     # manifest it would stay "pending" forever and every resume would
     # re-read and re-segment it. The pipeline completing without raising
     # means every pending fragment WAS processed — record the empty ones
-    # so a finished run's resume is the advertised no-op.
-    done_now = completed_partitions(out_dir)
+    # so a finished run's resume is the advertised no-op. Re-check with
+    # pending_fragments (lineage-aware), not completed_partitions: a pid
+    # can hold a STALE manifest from an earlier layout (file renamed /
+    # fragment count changed) that parses fine but mismatches lineage —
+    # such a fragment was re-processed this run and must get a corrected
+    # manifest, or it stays pending forever.
+    still_pending = set(pending_fragments(files, out_dir))
     for pid in pending:
-        if pid in done_now:
+        if pid not in still_pending:
             continue
         man = {
             "partition_id": pid,

@@ -119,6 +119,73 @@ def test_job_refuses_spec_change_on_resubmit(token_dir, tmp_path):
     assert s["partitions_written_this_run"] == 0
 
 
+def test_job_refuses_input_change_on_resubmit(token_dir, tmp_path):
+    """Same --output, different --input must refuse: the run-complete
+    marker would otherwise make it a silent successful no-op whose
+    summary claims the new input while all data is from the old one."""
+    import shutil
+
+    tok, _ = token_dir
+    out = str(tmp_path / "out")
+    _run(["--input", tok, "--output", out, "--pipeline", "rows"])
+    other = str(tmp_path / "othertok")
+    os.makedirs(other)
+    shutil.copy(sorted(glob.glob(os.path.join(tok, "*.parquet")))[0], other)
+    with pytest.raises(SystemExit, match="spec mismatch.*input"):
+        _run(["--input", other, "--output", out, "--pipeline", "rows"])
+
+
+def test_failed_submit_does_not_pin_spec(token_dir, tmp_path):
+    """A submit refused on input validation (typo'd path, wrong schema)
+    must not write _job_spec.json — otherwise the failed attempt's
+    geometry pins an EMPTY output dir and the corrected re-submit is
+    refused with a spec mismatch."""
+    tok, events = token_dir
+    out = str(tmp_path / "out")
+    with pytest.raises(SystemExit, match="seq_no"):
+        _run(["--input", events, "--output", out, "--pipeline", "rows",
+              "--window", "48"])
+    assert not os.path.exists(os.path.join(out, "_job_spec.json"))
+    # corrected submit with the intended default geometry succeeds
+    s = _run(["--input", tok, "--output", out, "--pipeline", "rows"])
+    assert s["partitions_written_this_run"] == 3
+
+
+def test_sessions_job_requires_n_tok_at_submit(token_dir, tmp_path):
+    """segment_sessions' metadata pre-pass selects n_tok explicitly; its
+    absence must fail at submit time with a clear message, not inside
+    distributed read tasks. The rows pipeline (list-offset segmenter)
+    has no such requirement and must still run."""
+    tok, _ = token_dir
+    src = sorted(glob.glob(os.path.join(tok, "*.parquet")))[0]
+    stripped = pq.read_table(src).drop_columns(["n_tok"])
+    notok = tmp_path / "no_ntok"
+    os.makedirs(notok)
+    pq.write_table(stripped, str(notok / "f.parquet"))
+    with pytest.raises(SystemExit, match="n_tok"):
+        _run(["--input", str(notok), "--output", str(tmp_path / "o1"),
+              "--pipeline", "sessions"])
+    s = _run(["--input", str(notok), "--output", str(tmp_path / "o2"),
+              "--pipeline", "rows"])
+    assert s["windows"]["rows_out"] > 0
+
+
+def test_manifest_stats_excludes_empty_partitions(tmp_path):
+    """Zero-row partitions (empty-fragment backstop manifests, rows_per_sec
+    0.0) did no work: they must not occupy the straggler list or drag the
+    throughput minimum to 0."""
+    mdir = tmp_path / "out" / "_manifest"
+    os.makedirs(mdir)
+    for pid, rows, rps in ((0, 100, 10.0), (1, 0, 0.0), (2, 100, 99.0)):
+        with open(mdir / f"part-{pid:05d}.json", "w") as fh:
+            json.dump({"partition_id": pid, "rows_out": rows,
+                       "bytes_out": rows * 8, "rows_per_sec": rps}, fh)
+    st = job._manifest_stats(str(tmp_path / "out"))
+    assert st["partitions"] == 3
+    assert st["rows_per_sec"]["min"] == 10.0
+    assert st["straggler_partitions"] == [0, 2]  # pid 1 excluded
+
+
 def test_job_refuses_sessions_only_flags_with_rows(token_dir, tmp_path):
     """--feature-dtype / --num-partitions / --events are sessions-only:
     silently ignoring them would hand back 4x the bytes (dtype) or

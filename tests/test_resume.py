@@ -204,6 +204,62 @@ def test_zero_row_fragment_gets_manifest(tiny_tokens, tmp_path):
     assert mf.read_output(out).count() > 0
 
 
+def test_stale_lineage_zero_window_fragment_corrected(tiny_tokens, tmp_path):
+    """A pid holding a STALE manifest (lineage mismatch — file renamed,
+    fragment set changed) whose re-read segments to zero windows must get
+    a CORRECTED manifest from the backstop: manifest presence alone must
+    not suppress it, or the fragment stays pending forever and the no-op
+    resume is never reached."""
+    import json as _json
+
+    import pyarrow as pa
+
+    spec = WindowSpec(16, 8, "frame")
+
+    def batch_fn(b: pa.Table) -> pa.Table:
+        return seg.segment_batch(
+            b, spec, key_cols=("doc_id", "source", "seq_no"),
+            with_aggregates=True, emit_tokens=False,
+        )
+
+    frag_dir = tmp_path / "frags"
+    os.makedirs(frag_dir)
+    empty = pa.table(
+        {
+            "doc_id": pa.array(["ed1"]),
+            "tokens": pa.array([[]], type=tiny_tokens["tokens"].type),
+            "n_tok": pa.array([0], type=pa.int64()),
+            "source": pa.array(["s"]),
+            "seq_no": pa.array([0], type=pa.int64()),
+        }
+    ).select(tiny_tokens.column_names).cast(tiny_tokens.schema)
+    files = []
+    for i, t in enumerate((tiny_tokens, empty)):
+        p = str(frag_dir / f"f{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+
+    sortw = ("doc_id", "source", "seq_no", "ts_start")
+    out = str(tmp_path / "out")
+    assert mf.write_resumable_fragments(files, batch_fn, out, sort_within=sortw) == 2
+
+    # stale the empty fragment's manifest: wrong lineage path
+    man = os.path.join(out, "_manifest", "part-00001.json")
+    m = _json.load(open(man))
+    m["input_lineage"] = ["/nonexistent/old.parquet"]
+    with open(man, "w") as fh:
+        _json.dump(m, fh)
+    assert mf.pending_fragments(files, out) == [1]
+
+    # re-run: fragment 1 re-segments to zero windows; the backstop must
+    # overwrite the stale manifest with the correct lineage
+    assert mf.write_resumable_fragments(files, batch_fn, out, sort_within=sortw) == 1
+    m2 = _json.load(open(man))
+    assert m2["rows_out"] == 0 and m2["input_lineage"] == [files[1]]
+    assert mf.pending_fragments(files, out) == []
+    assert mf.write_resumable_fragments(files, batch_fn, out, sort_within=sortw) == 0
+
+
 def test_resume_hash_version_mismatch_refused(tiny_tokens, tmp_path):
     """Output written with an OLDER partition-hash (manifests lacking the
     hash field) must be refused — resuming onto it with the current hash
