@@ -326,3 +326,91 @@ def combined_key_hash(columns) -> np.ndarray:
             h = ((h << np.uint64(13)) | (h >> np.uint64(51))) ^ ch
     assert h is not None, "combined_key_hash needs at least one key column"
     return h
+
+
+# ------------------------------------------------------- 128-bit content hash
+
+HASH_BASE2 = 0xC2B2AE3D27D4EB4F  # xxhash64 prime-2: second polynomial base
+_H2_TWEAK = 0xA0761D6478BD642F  # wyhash prime: decorrelates the two finalizers
+_POW_CACHE2 = np.array([1], dtype=np.uint64)
+
+
+def _pow_table2(n: int) -> np.ndarray:
+    """Powers of HASH_BASE2 mod 2^64 (grow-only cache, `_pow_table` twin)."""
+    global _POW_CACHE2
+    if len(_POW_CACHE2) <= n:
+        ext = np.full(n + 1 - len(_POW_CACHE2), HASH_BASE2, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            ext[0] = _POW_CACHE2[-1] * np.uint64(HASH_BASE2)
+            np.multiply.accumulate(ext, out=ext)
+        _POW_CACHE2 = np.concatenate([_POW_CACHE2, ext])
+    return _POW_CACHE2
+
+
+def content_hash128_py(text: str) -> tuple[int, int]:
+    """Per-row reference for ``content_hash128`` (loop-oracle primitive)."""
+    h1 = h2 = 0
+    for b in text.encode("utf-8"):
+        h1 = (h1 * HASH_BASE + b) & M64
+        h2 = (h2 * HASH_BASE2 + b) & M64
+    return mix64_py(h1), mix64_py(h2 ^ _H2_TWEAK)
+
+
+def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content identity of each full text: two independent
+    byte-polynomial hashes mod 2^64 (bases FNV / xxhash-prime-2,
+    decorrelated finalizers), returned as ``(lo uint64[n], hi
+    uint64[n])``. Nulls hash as "". The ``exact_dedup(digest="fast128")``
+    scale path: ONE byte gather + two segmented modular cumsums over the
+    batch, zero per-row Python (the ``hash_words`` machinery applied to
+    whole strings). Grouping-collision probability ~ n^2 / 2^129.
+
+    The power tables grow to the longest text a worker has seen (8
+    bytes/char resident per table) — fine through multi-MB documents;
+    gigabyte single documents should be length-capped upstream.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    n = len(texts)
+    off_dtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    off = np.frombuffer(texts.buffers()[1], dtype=off_dtype)[
+        texts.offset : texts.offset + n + 1
+    ].astype(np.int64)
+    starts, lens = off[:-1], np.diff(off)
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    valid = lens > 0
+    total = int(lens[valid].sum())
+    if total:
+        from podcast_audio_feature_extraction_ray.arena import ARENA
+
+        buf = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+        vs, vl = starts[valid], lens[valid]
+        wstarts = np.cumsum(vl) - vl
+        seg_of = ARENA.get("ch_seg_of", total, np.int64)
+        seg_of[:] = 0
+        seg_of[wstarts[1:]] = 1
+        np.cumsum(seg_of, out=seg_of)
+        within = ARENA.get("ch_within", total, np.int64)
+        np.take(wstarts, seg_of, out=within)
+        np.subtract(ARENA.iota(total), within, out=within)
+        idx = ARENA.get("ch_idx", total, np.int64)
+        np.take(vs, seg_of, out=idx)
+        np.add(idx, within, out=idx)  # absolute byte position
+        b8 = ARENA.get("ch_bytes", total, np.uint8)
+        np.take(buf, idx, out=b8)
+        # exponent = len - 1 - within (reuse idx)
+        np.take(vl, seg_of, out=idx)
+        np.subtract(idx, 1, out=idx)
+        np.subtract(idx, within, out=idx)
+        mx = int(vl.max())
+        csum = ARENA.get("ch_csum", total + 1, np.uint64)
+        contrib = ARENA.get("ch_contrib", total, np.uint64)
+        for pow_t, h in ((_pow_table(mx), h1), (_pow_table2(mx), h2)):
+            np.take(pow_t, idx, out=contrib)
+            contrib *= b8  # wraps mod 2^64
+            csum[0] = 0
+            np.cumsum(contrib, out=csum[1:])  # wraps mod 2^64
+            h[valid] = csum[wstarts + vl] - csum[wstarts]
+    return mix64(h1), mix64(h2 ^ np.uint64(_H2_TWEAK))

@@ -45,27 +45,41 @@ from podcast_audio_feature_extraction_ray import hashing
 
 def _md5_hex(texts) -> list[str]:
     # per-row C-speed hashlib call, kept for DuckDB md5() oracle parity;
-    # TODO(scale): a vectorized 128-bit hash would shave the Python loop,
-    # but the digest must stay md5 or the SQL oracle stops matching
+    # the zero-row-loop scale path is exact_dedup(digest="fast128")
     return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Group identical texts: (text_hash, n_dups, keep_doc_id=min id)."""
+def exact_dedup(
+    ds, id_col: str = "doc_id", text_col: str = "text", digest: str = "md5"
+):
+    """Group identical texts: (key..., n_dups, keep_doc_id=min id).
+
+    ``digest="md5"`` (default): key is a ``text_hash`` md5-hex column —
+    per-row C digest kept for DuckDB ``md5()`` oracle parity.
+    ``digest="fast128"``: key is an ``(h_lo, h_hi)`` int64 pair from
+    ``hashing.content_hash128`` — fully vectorized (one byte gather +
+    segmented cumsums, zero per-row Python), the 100-TB scale path;
+    grouping-collision probability ~ n^2 / 2^129.
+    """
+    if digest not in ("md5", "fast128"):
+        raise ValueError(f"digest must be 'md5' or 'fast128', got {digest!r}")
+    fast = digest == "fast128"
+    key_cols = ["h_lo", "h_hi"] if fast else ["text_hash"]
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null text hashes as "" — consistent with hash_words /
+        # quality_arrays (md5 of None would crash the task)
+        txt = pc.fill_null(batch[text_col], "")
+        if fast:
+            lo, hi = hashing.content_hash128(txt)
+            keys = {"h_lo": lo.view(np.int64), "h_hi": hi.view(np.int64)}
+        else:
+            keys = {"text_hash": _md5_hex(txt.to_pylist())}
         df = pd.DataFrame(
-            {
-                # null text hashes as "" — consistent with hash_words /
-                # quality_arrays (md5 of None would crash the task)
-                "text_hash": _md5_hex(
-                    pc.fill_null(batch[text_col], "").to_pylist()
-                ),
-                "id": batch[id_col].to_numpy(zero_copy_only=False),
-            }
+            {**keys, "id": batch[id_col].to_numpy(zero_copy_only=False)}
         )
-        g = df.groupby("text_hash", sort=False)["id"].agg(["count", "min"]).reset_index()
-        g.columns = ["text_hash", "n", "mn"]
+        g = df.groupby(key_cols, sort=False)["id"].agg(["count", "min"]).reset_index()
+        g.columns = key_cols + ["n", "mn"]
         g["n"] = g["n"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -73,7 +87,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_hash")
+        .groupby(key_cols if fast else key_cols[0])
         .aggregate(Sum("n", alias_name="n_dups"), Min("mn", alias_name="keep_doc_id"))
     )
 

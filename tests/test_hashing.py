@@ -160,3 +160,57 @@ def test_combined_key_hash_no_equal_column_collapse():
         dtype=np.uint64
     )
     assert np.array_equal(one, want)
+
+
+def test_content_hash128_matches_reference():
+    """Vectorized 128-bit content hash == per-row loop reference, across
+    plain/large string arrays, slices (nonzero offsets), nulls, unicode,
+    and randomized strings."""
+    rng = np.random.default_rng(99)
+    alphabet = list("abc déf\t中文🙂\n")
+    texts = ["", "a", "x" * 4096, None] + [
+        "".join(rng.choice(alphabet, size=rng.integers(0, 60)))
+        for _ in range(120)
+    ]
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(texts, type=typ)
+        lo, hi = H.content_hash128(arr)
+        for t, l, h in zip(texts, lo, hi):
+            wl, wh = H.content_hash128_py(t or "")
+            assert (int(l), int(h)) == (wl, wh)
+        s = arr.slice(3, 50)
+        lo2, hi2 = H.content_hash128(s)
+        assert np.array_equal(lo2, lo[3:53]) and np.array_equal(hi2, hi[3:53])
+    # the two 64-bit halves are decorrelated: no (lo == hi) coincidences
+    arr = pa.array([t for t in texts if t], type=pa.string())
+    lo, hi = H.content_hash128(arr)
+    assert not (lo == hi).any()
+    assert len(np.unique(lo)) == len(set(t for t in texts if t))
+
+
+def test_exact_dedup_fast128_groups_like_md5():
+    """exact_dedup(digest="fast128") produces the SAME grouping (dup
+    counts + kept ids) as the md5 oracle path — only the key encoding
+    differs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from podcast_audio_feature_extraction_ray.stages.dedup import exact_dedup
+
+    rng = np.random.default_rng(5)
+    base = [f"document body {i}" for i in range(40)]
+    texts = [base[rng.integers(0, 40)] for _ in range(300)] + ["", None]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(df).repartition(5)
+
+    md5_out = exact_dedup(ds).to_pandas()
+    fast_out = exact_dedup(ds, digest="fast128").to_pandas()
+    assert set(fast_out.columns) == {"h_lo", "h_hi", "n_dups", "keep_doc_id"}
+    # same group structure: compare (n_dups, keep_doc_id) multisets and
+    # per-kept-id dup counts (kept id identifies the group content)
+    a = md5_out.sort_values("keep_doc_id")[["keep_doc_id", "n_dups"]].reset_index(drop=True)
+    b = fast_out.sort_values("keep_doc_id")[["keep_doc_id", "n_dups"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # "" and null land in the SAME group on both paths
+    null_group = fast_out[fast_out.keep_doc_id == 300]
+    assert len(null_group) == 1 and int(null_group.n_dups.iloc[0]) == 2
