@@ -226,6 +226,46 @@ def clean_text(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# fixed redaction order: URLs first (they may embed @ and digits), then
+# emails, then IPv4, then phone-ish digit groups — each later pattern
+# sees the earlier placeholders, so counts are well-defined
+_PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("n_urls", r"https?://[^\s]+", "<URL>"),
+    ("n_emails", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ips", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("n_phones", r"\+?[0-9][0-9()\-. ]{6,}[0-9]\b", "<PHONE>"),
+)
+
+
+def redact_pii(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """PII scrubbing (the C4/Dolma pre-training hygiene pass): replace
+    URLs, emails, IPv4 addresses and phone-number-shaped digit runs with
+    typed placeholders, emitting per-doc match counts as quality
+    signals. All Arrow RE2 kernels (``replace_substring_regex`` /
+    ``count_substring_regex``), RE2-only syntax (no lookaround) so a
+    DuckDB RE2 oracle replays the exact rewrite; zero shuffle, zero
+    per-row Python. Columns: ``redacted_text, n_urls, n_emails, n_ips,
+    n_phones``. Reference analog: the M3 cleaning family
+    (``src/search/index.py:39-52``), extended to the PII rules a
+    100-TB crawl pipeline runs before training."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        c = pc.fill_null(txt, "")
+        cols = {id_col: batch[id_col]}
+        counts = {}
+        for name, pat, repl in _PII_RULES:
+            counts[name] = pc.count_substring_regex(c, pattern=pat).cast(pa.int64())
+            c = pc.replace_substring_regex(c, pattern=pat, replacement=repl)
+        cols["redacted_text"] = c
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _winnow(hs: np.ndarray, w: int) -> list[int]:
     """Winnowing selection: distinct sorted minima of width-w windows."""
     if len(hs) == 0:

@@ -220,3 +220,51 @@ FROM rk WHERE r <= 10
             w[["source", "token", "tf", "df", "tfidf", "rank"]],
             check_dtype=False,
         )
+
+
+PII_CRAFTED = [
+    "mail me at john.doe+spam@example.co.uk or visit https://a.example.com/x?u=p@q&t=1",
+    "call +1 (415) 555-0134 or 415-555-0199 now",
+    "server at 192.168.0.1 and 10.0.0.255, not 999.1.1 though",
+    "no pii here at all",
+    "",
+    "two mails a@b.io c@d.org and url http://x.io/1 2 3",
+    "edge +44 20 7946 0958 ends",
+    "unicode żółć with e@f.pl inside",
+]
+
+
+def test_redact_pii_matches_duckdb():
+    """Sequential RE2 rewrite + counts replayed by a DuckDB oracle (both
+    engines run RE2 with identical leftmost non-overlapping semantics)."""
+    from podcast_audio_feature_extraction_ray.stages.text import _PII_RULES, redact_pii
+
+    tbl = pa.table(
+        {"doc_id": np.arange(len(PII_CRAFTED), dtype=np.int64), "text": PII_CRAFTED}
+    )
+    got = (
+        redact_pii(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("t", tbl)
+    expr, selects = "text", []
+    for name, pat, repl in _PII_RULES:
+        selects.append(
+            f"len(regexp_extract_all({expr}, '{pat}')) :: BIGINT AS {name}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    want = con.execute(
+        f"SELECT doc_id, {expr} AS redacted_text, {', '.join(selects)} "
+        "FROM t ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+    # sanity: the rewrites actually fired
+    assert got.n_urls.sum() >= 2 and got.n_emails.sum() >= 4
+    assert got.n_ips.sum() >= 2 and got.n_phones.sum() >= 3
+    assert "<EMAIL>" in got.redacted_text[0] and "<URL>" in got.redacted_text[0]
