@@ -216,13 +216,17 @@ def run_job(args) -> dict:
         # (stages/segment.py select_columns) — catch its absence here,
         # not inside distributed read tasks after the cluster spun up
         need.add("n_tok")
-    have = set(_pq.read_schema(files[0]).names)
-    if not need <= have:
-        raise SystemExit(
-            f"input schema is missing {sorted(need - have)} "
-            f"(found {sorted(have)}); expected the token-table shape "
-            "(doc_id, tokens, n_tok, source, seq_no)"
-        )
+    # EVERY file, not just files[0]: mixed export versions in one input
+    # directory would otherwise pass here and die mid-run inside
+    # distributed read tasks — footer-only reads, cheap even at 10k files
+    for f in files:
+        have = set(_pq.read_schema(f).names)
+        if not need <= have:
+            raise SystemExit(
+                f"input file {f!r} is missing {sorted(need - have)} "
+                f"(found {sorted(have)}); expected the token-table shape "
+                "(doc_id, tokens, n_tok, source, seq_no)"
+            )
     # validate input BEFORE writing the spec marker: a typo'd submit must
     # not pin the geometry of an (empty) output directory
     _check_job_spec(args)
@@ -276,19 +280,28 @@ def run_job(args) -> dict:
         import pyarrow.parquet as pq
 
         t0 = time.time()
-        events = pq.read_table(args.events)
-        win_ds = rd.read_parquet(
-            sorted(glob.glob(os.path.join(win_dir, "part=*", "data.parquet"))),
-            columns=["doc_id", "source", "win_id", "ts_end"],
-        )
-        bf = asof.backfill_broadcast(
-            win_ds, events, key=("doc_id", "source"), mode="tasks",
-        )
         bf_dir = os.path.join(args.output, "backfill")
         # derived data, rebuilt whole each submit: clearing first keeps
         # re-submission idempotent (write_parquet appends uniquely-named
         # files, so a stale directory would double every row)
         shutil.rmtree(bf_dir, ignore_errors=True)
+        win_files = sorted(
+            glob.glob(os.path.join(win_dir, "part=*", "data.parquet"))
+        )
+        if not win_files:
+            # zero window partitions (every stream shorter than one
+            # window): an empty backfill, not ray's opaque
+            # "Must provide at least one path" ValueError
+            summary["wall_s"]["backfill"] = round(time.time() - t0, 3)
+            summary["backfill_rows"] = 0
+            return summary
+        events = pq.read_table(args.events)
+        win_ds = rd.read_parquet(
+            win_files, columns=["doc_id", "source", "win_id", "ts_end"],
+        )
+        bf = asof.backfill_broadcast(
+            win_ds, events, key=("doc_id", "source"), mode="tasks",
+        )
         bf.write_parquet(bf_dir, compression="zstd")
         summary["wall_s"]["backfill"] = round(time.time() - t0, 3)
         summary["backfill_rows"] = sum(

@@ -146,7 +146,9 @@ def gather_windows(
     return values[idx], seg_offsets
 
 
-def _check_functional_bounds(n_max: int, v_absmax: int) -> None:
+def _check_functional_bounds(
+    n_max: int, v_absmax: int, buf_len: int | None = None
+) -> None:
     """Exact-int64 safety for the slope intermediates: ``den =
     n²(n²-1)/12`` (overflows near n ~ 102k regardless of values) and
     ``|num| <= 2·n³·max|v|`` (overflows earlier for large tokens). The
@@ -156,13 +158,27 @@ def _check_functional_bounds(n_max: int, v_absmax: int) -> None:
     has tok_max <= 0 but the same |num| magnitude (callers pass
     max(|tok_min|, |tok_max|)). Checked in exact Python ints; ~50k-token
     windows with 32-bit values are safe, real window widths are orders
-    of magnitude below."""
+    of magnitude below.
+
+    ``buf_len``: the STREAM path only — its Σ(i·v) uses buffer-indexed
+    positions (``reduceat(pos·v) - start·Σv``), so the intermediates
+    scale with the session-buffer length m, not the window length:
+    ``|reduceat(pos·v)| <= n·m·max|v|`` and ``|start·Σv| <= m·n·max|v|``.
+    A ~20M-token buffer of near-2^31 values would wrap these silently;
+    raise so the caller shrinks the batch instead. The gathered path
+    uses window-local indices and needs no such bound."""
     n = int(n_max)
     mv = max(int(v_absmax), 1)
     if n * n * (n * n - 1) // 12 >= 2**63 or 2 * n**3 * mv >= 2**63:
         raise ValueError(
             f"functional slope would overflow exact int64: window length {n} "
             f"with max token value {mv}; shorten windows or disable functionals"
+        )
+    if buf_len is not None and n * int(buf_len) * mv >= 2**63:
+        raise ValueError(
+            f"stream-path slope would overflow exact int64: window length {n} "
+            f"x buffer length {buf_len} x max token value {mv} >= 2^63; "
+            "reduce the batch/chunk size or token magnitude"
         )
 
 
@@ -281,6 +297,7 @@ def window_features_stream(
         _check_functional_bounds(
             n_.max(),
             max(int(out["tok_max"].max()), -int(out["tok_min"].min())),
+            buf_len=m,
         )
         # percentile composite (win << 32) + value requires values in
         # [0, 2^32) — negative or wider values would corrupt the sort
@@ -291,7 +308,7 @@ def window_features_stream(
             )
         # slope, gather-free: Σ(i·v) over a window = reduceat(pos·v) minus
         # start·Σv (pos = buffer index; i = pos - window start). Requires
-        # m · max(v) < 2^63 — true for int32 tokens and any real batch.
+        # n · m · max|v| < 2^63 — enforced by the buf_len check above.
         np.copyto(a64, v_s, casting="unsafe")
         a64[:m] *= ARENA.iota(m)
         a64[m] = 0

@@ -68,12 +68,14 @@ def exact_dedup(
 
     def partial(batch: pa.Table) -> pa.Table:
         # null text hashes as "" — consistent with hash_words /
-        # quality_arrays (md5 of None would crash the task)
-        txt = pc.fill_null(batch[text_col], "")
+        # quality_arrays (md5 of None would crash the task);
+        # content_hash128 fills nulls itself, so the fast branch takes
+        # the raw column (no redundant full-column kernel pass)
         if fast:
-            lo, hi = hashing.content_hash128(txt)
+            lo, hi = hashing.content_hash128(batch[text_col])
             keys = {"h_lo": lo.view(np.int64), "h_hi": hi.view(np.int64)}
         else:
+            txt = pc.fill_null(batch[text_col], "")
             keys = {"text_hash": _md5_hex(txt.to_pylist())}
         df = pd.DataFrame(
             {**keys, "id": batch[id_col].to_numpy(zero_copy_only=False)}
@@ -696,7 +698,12 @@ def ngram_jaccard_verify_ds(
     Same output schema + semantics as ``ngram_jaccard_verify``: one row
     per candidate pair whose two docs both exist, ``(a, b, inter_n,
     union_n)``; empty-text docs verify as ``inter_n=0`` with their
-    presence intact.
+    presence intact. A corpus with DUPLICATE ``id_col`` rows (the join
+    then matches a membership several times) still verifies every pair:
+    presence is judged per side, ``union_n`` counts DISTINCT grams, and
+    per-side set size resolves by max — identical output to the
+    broadcast path on well-formed corpora, deterministic under the
+    same-id-different-text degeneracy.
     """
     from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
 
@@ -723,10 +730,12 @@ def ngram_jaccard_verify_ds(
         n_coarse = max(256, n_pairs // 2_000)
     _MEM_SCHEMA = {
         "pr_a": pa.int64(), "pr_b": pa.int64(), "__doc": pa.int64(),
+        "side": pa.int8(),
     }
     _ROW_SCHEMA = {
         "__cb": pa.int64(), "pr_a": pa.int64(), "pr_b": pa.int64(),
         "gram": pa.int64(), "set_size": pa.int64(), "marker": pa.int64(),
+        "side": pa.int8(),
     }
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -734,15 +743,20 @@ def ngram_jaccard_verify_ds(
             return typed_empty_table(_MEM_SCHEMA)
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # no side tag: count_group recovers pairs as (a, b) runs and
-        # needs only which grams/presence rows landed in the run, not
-        # which membership produced them — a side column would ride the
-        # join exchange (the widest stage) dead
+        # the int8 side tag lets count_group stay correct when the
+        # corpus holds DUPLICATE doc_id rows (the inner join then emits
+        # several matches per membership): presence is judged per SIDE,
+        # not by raw row count, so such pairs are verified instead of
+        # silently dropped — matching the broadcast-path semantics
+        n_m = len(a)
         return pa.table(
             {
                 "pr_a": pa.array(np.concatenate([a, a])),
                 "pr_b": pa.array(np.concatenate([b, b])),
                 "__doc": pa.array(np.concatenate([a, b])),
+                "side": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int8), n_m)
+                ),
             }
         )
 
@@ -788,6 +802,13 @@ def ngram_jaccard_verify_ds(
                         [zeros_g, np.ones(batch.num_rows, np.int64)]
                     )
                 ),
+                # side matters on presence rows only; gram rows carry 0
+                "side": pa.array(
+                    np.concatenate(
+                        [zeros_g.astype(np.int8),
+                         batch["side"].to_numpy(zero_copy_only=False)]
+                    )
+                ),
             }
         )
 
@@ -797,34 +818,46 @@ def ngram_jaccard_verify_ds(
         gram = group["gram"].to_numpy(zero_copy_only=False)
         size = group["set_size"].to_numpy(zero_copy_only=False)
         marker = group["marker"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
         # one lexsort delimits pairs as (a, b) runs; within a run, gram
-        # rows (marker 0) sort by gram so intersections are adjacent
+        # rows (marker 0) sort by gram so distinct grams are adjacent
         order = np.lexsort((gram, marker, b, a))
         a_s, b_s = a[order], b[order]
-        gram_s, size_s, mk_s = gram[order], size[order], marker[order]
+        gram_s, size_s, mk_s, sd_s = (
+            gram[order], size[order], marker[order], side[order]
+        )
         starts, lens = _run_bounds(a_s, b_s)
         npair = len(starts)
         pair_idx = np.repeat(np.arange(npair, dtype=np.int64), lens)
         gm = mk_s == 0
         pg, gg = pair_idx[gm], gram_s[gm]
-        inter = np.zeros(npair, dtype=np.int64)
-        if len(pg) > 1:
-            dup = (pg[1:] == pg[:-1]) & (gg[1:] == gg[:-1])
-            inter = np.bincount(pg[1:][dup], minlength=npair)
+        # |A ∪ B| = DISTINCT grams in the run — immune to the duplicated
+        # gram rows a duplicate-doc_id corpus produces via the join
+        # (every duplicate contributes the same gram values)
+        union_n = np.zeros(npair, dtype=np.int64)
+        if len(pg):
+            first = np.ones(len(pg), dtype=bool)
+            first[1:] = (pg[1:] != pg[:-1]) | (gg[1:] != gg[:-1])
+            union_n = np.bincount(pg[first], minlength=npair)
+        # presence judged per SIDE (a duplicate-id match yields several
+        # presence rows on one side — still ONE side); per-side set size
+        # by max, deterministic under same-id-different-text degeneracy
         pm = ~gm
-        n_pres = np.bincount(pair_idx[pm], minlength=npair)
-        sizes_sum = np.zeros(npair, dtype=np.int64)
-        np.add.at(sizes_sum, pair_idx[pm], size_s[pm])
-        keep = n_pres == 2  # both docs exist ((a,b) rows unique upstream)
+        pi, sd, sz = pair_idx[pm], sd_s[pm], size_s[pm]
+        sz_side = np.zeros((npair, 2), dtype=np.int64)
+        has_side = np.zeros((npair, 2), dtype=bool)
+        np.maximum.at(sz_side, (pi, sd), sz)  # presence rows: ~2/pair
+        has_side[pi, sd] = True
+        keep = has_side[:, 0] & has_side[:, 1]
+        # |A ∩ B| = |A| + |B| − |A ∪ B| (exact set identity; equals the
+        # old adjacent-dup count on a well-formed corpus)
+        inter = np.maximum(sz_side[:, 0] + sz_side[:, 1] - union_n, 0)
         return pa.table(
             {
                 "a": pa.array(a_s[starts][keep], type=pa.int64()),
                 "b": pa.array(b_s[starts][keep], type=pa.int64()),
                 "inter_n": pa.array(inter[keep].astype(np.int64), type=pa.int64()),
-                "union_n": pa.array(
-                    (sizes_sum[keep] - inter[keep]).astype(np.int64),
-                    type=pa.int64(),
-                ),
+                "union_n": pa.array(union_n[keep].astype(np.int64), type=pa.int64()),
             }
         )
 

@@ -79,6 +79,7 @@ def resume_complete(
     key_cols=("doc_id", "source"),
     num_partitions: int = 64,
     feature_dtype: str | None = None,
+    done: set[int] | None = None,
 ) -> bool:
     """True iff a prior run of the SAME layout finished completely.
 
@@ -98,7 +99,8 @@ def resume_complete(
     """
     key_cols = tuple(key_cols)
     dtype_label = feature_dtype or "float64"
-    done = completed_partitions(out_dir)
+    if done is None:  # callers holding the set already pass it in —
+        done = completed_partitions(out_dir)  # one manifest scan per submit
     if not done:
         return False
     mdir = manifest_dir(out_dir)
@@ -169,12 +171,12 @@ def write_resumable(
     cast_to = {"float32": pa.float32(), "float16": pa.float16()}.get(
         _FEATURE_DTYPES[feature_dtype] or ""
     )
+    done = completed_partitions(out_dir)
     if resume_complete(
         out_dir, key_cols=key_cols, num_partitions=num_partitions,
-        feature_dtype=feature_dtype,
+        feature_dtype=feature_dtype, done=done,
     ):
         return 0
-    done = completed_partitions(out_dir)
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -407,6 +409,12 @@ def write_resumable_fragments(
             "rows_per_sec": 0.0,
             "input_lineage": [files[pid]],
         }
+        # a STALE pid can still hold the previous layout's data file;
+        # leaving it would make read_output return phantom rows that the
+        # corrected rows_out=0 manifest (and the job summary) disclaim
+        stale = os.path.join(out_dir, f"part={pid:05d}", "data.parquet")
+        if os.path.exists(stale):
+            os.remove(stale)
         mtmp = os.path.join(manifest_dir(out_dir), f".part-{pid:05d}.tmp")
         mdst = os.path.join(manifest_dir(out_dir), f"part-{pid:05d}.json")
         with open(mtmp, "w") as fh:

@@ -179,3 +179,31 @@ def test_composed_query_distributed_path_matches(ray_session, monkeypatch):
     )
     cols = ["doc_id", "cluster_id", "keep"]
     pd.testing.assert_frame_equal(base[cols], dist[cols])
+
+
+def test_verify_ds_survives_duplicate_doc_id_rows(ray_session, planted):
+    """A corpus holding DUPLICATE doc_id rows (same id, same text) must
+    not drop pairs from the distributed verify (the join matches each
+    membership several times): output equals the broadcast path run on
+    the deduplicated corpus."""
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    df, pairs = planted
+    # duplicate every 5th row verbatim (same id, same text)
+    dup_rows = df.iloc[::5]
+    df_dup = pd.concat([df, dup_rows], ignore_index=True)
+
+    want = (
+        dedup.ngram_jaccard_verify(rd.from_pandas(df), pairs.to_pandas())
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        dedup.ngram_jaccard_verify_ds(rd.from_pandas(df_dup), pairs)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    cols = ["a", "b", "inter_n", "union_n"]
+    pd.testing.assert_frame_equal(want[cols], got[cols])

@@ -199,3 +199,56 @@ def test_job_refuses_sessions_only_flags_with_rows(token_dir, tmp_path):
             _run(["--input", tok, "--output", out, "--pipeline", "rows",
                   *extra])
     assert not os.path.exists(out)  # refused before touching the output
+
+
+def test_job_rejects_mixed_schema_directory(token_dir, tmp_path):
+    """EVERY input file's schema is validated at submit time — one
+    stray mixed-export-version file must fail with the clear message,
+    not a mid-run KeyError in a read task."""
+    import shutil
+
+    tok, events = token_dir
+    mixed = tmp_path / "mixed"
+    shutil.copytree(tok, mixed)
+    # a later fragment with the token schema minus seq_no
+    good = pq.read_table(os.path.join(tok, "part-0.parquet"))
+    pq.write_table(good.drop_columns(["seq_no"]), str(mixed / "part-9.parquet"))
+    out = str(tmp_path / "out")
+    with pytest.raises(SystemExit, match="part-9.*seq_no"):
+        _run(["--input", str(mixed), "--output", out, "--pipeline", "rows"])
+    # the failed submit must not have pinned the spec
+    assert not os.path.exists(os.path.join(out, "_job_spec.json"))
+
+
+def test_backfill_with_zero_window_partitions(token_dir, tmp_path):
+    """All streams shorter than one window -> the sessions pipeline
+    writes zero partitions; --events must produce an EMPTY backfill, not
+    ray's 'Must provide at least one path' ValueError."""
+    import numpy as np
+    import pyarrow as pa
+
+    _, events = token_dir
+    short = tmp_path / "short"
+    os.makedirs(short)
+    tmpl = fixtures.token_table(50, n_docs=2, seed=1)
+    tiny = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "tokens": pa.array([[], []], type=tmpl["tokens"].type),
+            "n_tok": pa.array(np.array([0, 0]), type=tmpl["n_tok"].type),
+            "source": pa.array(["s", "s"]),
+            "seq_no": pa.array(np.array([0, 0]), type=tmpl["seq_no"].type),
+        }
+    ).select(tmpl.column_names).cast(tmpl.schema)
+    pq.write_table(tiny, str(short / "part-0.parquet"))
+    out = str(tmp_path / "out")
+    s = _run([
+        "--input", str(short), "--output", out, "--pipeline", "sessions",
+        "--num-partitions", "4", "--events", events,
+    ])
+    # zero window partitions -> no manifests (partitions 0) and an
+    # empty backfill instead of the read_parquet([]) crash
+    assert s["windows"].get("rows_out", 0) == 0
+    assert s["windows"]["partitions"] == 0
+    assert s["backfill_rows"] == 0
+    assert not glob.glob(os.path.join(out, "backfill", "*.parquet"))

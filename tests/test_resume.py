@@ -393,3 +393,60 @@ def test_feature_dtype_compact_sink(tiny_tokens, tmp_path):
             rd.from_arrow(tiny_tokens), str(tmp_path / "bad"),
             feature_dtype="float8",
         )
+
+
+def test_stale_fragment_data_file_removed_on_zero_window_correction(
+    tiny_tokens, tmp_path
+):
+    """When the backstop corrects a stale-lineage pid to rows_out=0, the
+    pid's PREVIOUS data.parquet must be removed — otherwise read_output
+    returns phantom rows belonging to no current fragment while the
+    manifest claims 0."""
+    import json as _json
+
+    import pyarrow as pa
+
+    spec = WindowSpec(16, 8, "frame")
+
+    def batch_fn(b: pa.Table) -> pa.Table:
+        return seg.segment_batch(
+            b, spec, key_cols=("doc_id", "source", "seq_no"),
+            with_aggregates=True, emit_tokens=False,
+        )
+
+    frag_dir = tmp_path / "frags"
+    os.makedirs(frag_dir)
+    half = tiny_tokens.slice(0, max(1, tiny_tokens.num_rows // 2))
+    files = []
+    for i, t in enumerate((tiny_tokens, half)):
+        p = str(frag_dir / f"f{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+    sortw = ("doc_id", "source", "seq_no", "ts_start")
+    out = str(tmp_path / "out")
+    assert mf.write_resumable_fragments(files, batch_fn, out, sort_within=sortw) == 2
+    data1 = os.path.join(out, "part=00001", "data.parquet")
+    assert os.path.exists(data1)  # pid 1 wrote real windows
+
+    # the fragment set changes: pid 1 now maps to a ZERO-window fragment
+    # (all-empty token streams) and its manifest lineage is stale
+    empty = pa.table(
+        {
+            "doc_id": pa.array(["ed1"]),
+            "tokens": pa.array([[]], type=tiny_tokens["tokens"].type),
+            "n_tok": pa.array([0], type=pa.int64()),
+            "source": pa.array(["s"]),
+            "seq_no": pa.array([0], type=pa.int64()),
+        }
+    ).select(tiny_tokens.column_names).cast(tiny_tokens.schema)
+    pq.write_table(empty, str(frag_dir / "f1_new.parquet"))
+    files = [files[0], str(frag_dir / "f1_new.parquet")]
+    assert mf.pending_fragments(files, out) == [1]
+
+    assert mf.write_resumable_fragments(files, batch_fn, out, sort_within=sortw) == 1
+    man = _json.load(open(os.path.join(out, "_manifest", "part-00001.json")))
+    assert man["rows_out"] == 0 and man["input_lineage"] == [files[1]]
+    assert not os.path.exists(data1)  # phantom rows gone
+    total = mf.read_output(out).count()
+    want = pq.read_metadata(os.path.join(out, "part=00000", "data.parquet")).num_rows
+    assert total == want

@@ -463,3 +463,45 @@ def test_functional_overflow_guards():
         kernels.window_features_stream(
             np.full(4, 2**32 + 5, dtype=np.int64), **one_win
         )
+
+
+def test_stream_slope_buffer_bound_guard():
+    """The STREAM path's slope intermediates scale with the session
+    BUFFER length m (reduceat(pos*v), start*sum) — a huge buffer of
+    near-2^31 values must raise, not silently wrap int64 (the gathered
+    path with the same window is exempt: window-local indices)."""
+    import numpy as np
+    import pytest
+
+    from podcast_audio_feature_extraction_ray import kernels
+
+    # direct check of the bound arithmetic: n*m*max|v| >= 2^63 raises
+    # only when buf_len is supplied
+    kernels._check_functional_bounds(192, 2**31)  # window bound ok
+    with pytest.raises(ValueError, match="buffer length"):
+        kernels._check_functional_bounds(192, 2**31, buf_len=2**25)
+    kernels._check_functional_bounds(192, 2**31, buf_len=2**20)  # small ok
+
+    # end-to-end: window_features_stream forwards its buffer length
+    m = 4096
+    v = np.full(m, 2**31 - 1, dtype=np.int64)
+    kwargs = dict(
+        sess_bounds=np.array([0, m], dtype=np.int64),
+        sess_base_tick=np.array([0], dtype=np.int64),
+        win_sess=np.zeros(1, dtype=np.int64),
+        ts_start=np.array([0], dtype=np.int64),
+        slice_len=np.array([64], dtype=np.int64),
+        win_k=np.array([0], dtype=np.int64),
+        first_k=np.array([0], dtype=np.int64),
+        win_offset=np.array([0], dtype=np.int64),
+        width=64, hop=64,
+        functionals=True,
+    )
+    out = kernels.window_features_stream(values=v, **kwargs)  # within bound
+    assert out["tok_p50"][0] == 2**31 - 1
+    # same call where n * m * max|v| crosses 2^63: n=64, so the bound
+    # trips at m >= 2^63 / (64 * (2^31-1)) ~ 2^26.000...; build the
+    # boundary case cheaply by lying about nothing — a real 2^26 buffer
+    # is 512 MB, so check the guard arithmetic instead at that scale
+    with pytest.raises(ValueError, match="buffer length"):
+        kernels._check_functional_bounds(64, 2**31 - 1, buf_len=2**27)
