@@ -21,10 +21,20 @@ def list_buffers(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def list_array(values: np.ndarray, offsets: np.ndarray, value_type=pa.int32()) -> pa.Array:
-    """Build a list<value_type> array from numpy (values, offsets)."""
+    """Build a list<value_type> array from numpy (values, offsets).
+
+    Raises (rather than silently switching to large_list) past int32
+    offsets: every caller emits PER-BLOCK data, and one block flipping
+    to ``large_list`` while its siblings stay ``list`` breaks cross-block
+    schema unification mid-run — exactly on the giant inputs where it
+    would trigger. The fix at the call site is smaller blocks (batch
+    size / bucket fan-out / ``split_ticks``), not a wider type."""
     if len(values) > np.iinfo(np.int32).max:
-        return pa.LargeListArray.from_arrays(
-            pa.array(offsets, type=pa.int64()), pa.array(values, type=value_type)
+        raise ValueError(
+            f"block would need large_list offsets ({len(values)} values > "
+            "int32 max), which breaks cross-block schema unification; "
+            "reduce the batch size / bucket fan-out / split_ticks so one "
+            "block's gathered values stay under 2^31"
         )
     return pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32), type=pa.int32()),

@@ -254,10 +254,7 @@ def _segment_sorted_block(
         col = block[c]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        neq = pa.compute.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False
-        )
-        start[1:] |= neq.astype(bool)
+        start[1:] |= _null_safe_change(col, n)
     first_rows = np.flatnonzero(start)
     if buffers is None:
         values, offsets = list_buffers(block["tokens"])
@@ -284,6 +281,22 @@ def _segment_sorted_block(
 # array; entries are shared-memory views, not copies
 _worker_payload_cache: dict = {}
 
+
+def _null_safe_change(col, n: int) -> np.ndarray:
+    """``bool[n-1]``: consecutive rows DIFFER under SQL IS DISTINCT FROM
+    — null vs null compares EQUAL (nulls sort together and form ONE
+    session, the GROUP BY rule), null vs value DIFFERENT. Plain
+    ``not_equal`` yields null in both cases, which ``astype(bool)`` on
+    the masked numpy view would read as "same session" and silently
+    merge a null-keyed row into its real-keyed neighbor."""
+    a, b = col.slice(1), col.slice(0, n - 1)
+    neq = pa.compute.fill_null(pa.compute.not_equal(a, b), False).to_numpy(
+        zero_copy_only=False
+    ).astype(bool)
+    na = pa.compute.is_null(a).to_numpy(zero_copy_only=False)
+    nb = pa.compute.is_null(b).to_numpy(zero_copy_only=False)
+    return neq | (na ^ nb)
+
 # blockref payload uids are CHUNK-granular: the registry stores the block
 # ref under an aligned base uid and chunk j of that block is uid base + j.
 # Chunk granularity matters because a block column is a ChunkedArray and
@@ -292,6 +305,13 @@ _worker_payload_cache: dict = {}
 # (.offsets respects the slice, .values is the full child) are zero-copy.
 _UID_CHUNK_BITS = 24
 _UID_BLOCK_MASK = ~((1 << _UID_CHUNK_BITS) - 1)
+# every blockref base uid this DRIVER process ever issued: masked bases
+# carry 39 random bits, so cross-run collisions against a worker's
+# still-cached uid are unlikely but not impossible — tracking issued
+# bases driver-side makes reuse impossible within the process whose
+# workers hold those caches (worker caches die with the Ray session,
+# which dies with the driver)
+_issued_uid_bases: set = set()
 
 
 def _chunk_pointers(col, uid_base: int):
@@ -300,6 +320,9 @@ def _chunk_pointers(col, uid_base: int):
     FULL child buffer (valid for sliced chunks)."""
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     assert len(chunks) < (1 << _UID_CHUNK_BITS)
+    if not chunks:  # typed 0-row column with ZERO chunks (filtered block)
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
     voffs, vlens, uids = [], [], []
     for j, ch in enumerate(chunks):
         off = ch.offsets.to_numpy().astype(np.int64, copy=False)
@@ -638,10 +661,7 @@ def _hot_session_index(
         col = hot_tbl[c]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        neq = pa.compute.not_equal(col.slice(1), col.slice(0, m - 1)).to_numpy(
-            zero_copy_only=False
-        )
-        key_change[1:] |= neq.astype(bool)
+        key_change[1:] |= _null_safe_change(col, m)
     # restart the running sum at each session boundary
     sess_base = np.maximum.accumulate(np.where(key_change, cum, -1))
     starts_all = cum - sess_base
@@ -728,6 +748,13 @@ def segment_sessions(
     pins the payload either way.
     """
     sk, ok = tuple(session_key), tuple(order_key)
+    if payload not in ("inline", "sidechannel", "blockref"):
+        raise ValueError(
+            f"payload must be 'inline', 'sidechannel' or 'blockref', got "
+            f"{payload!r}"  # a typo silently losing the zero-copy exchange
+        )
+    if impl not in ("bucket", "groups"):
+        raise ValueError(f"impl must be 'bucket' or 'groups', got {impl!r}")
     blockref = payload == "blockref" and impl == "bucket"
     sidechannel = (payload == "sidechannel" or blockref) and impl == "bucket"
 
@@ -770,12 +797,20 @@ def segment_sessions(
 
     lag_n = int(opts.get("lag") or 0)
     lead_n = int(opts.get("lead") or 0)
-    # duplication range covers both modes' window lookahead plus lead
-    la = spec.window + 1 - spec.hop + lead_n
-    want_split = True
+    # duplication range covers the window lookahead past a chunk cut plus
+    # lead — the SAME formula as _session_group_fn, kept on the shared
+    # spec.lookahead property so the two sites cannot drift
+    la = spec.lookahead + (1 if spec.mode == "segment" else 0) + lead_n
+    # hot splitting maps rows to ticks via (hot-key ordinal, ok[0]) —
+    # with a MULTI-column order key, duplicate ok[0] values inside a hot
+    # session would resolve to the wrong start tick (silently wrong
+    # windows), so splitting is disabled: sessions stay unsplit and
+    # correct (use impl="groups" to chunk composite-ordered sessions).
+    # split_ticks=0 (or negative) disables splitting explicitly.
     if split_ticks is None:
         split_ticks = ((48 * 4096) // spec.hop) * spec.hop * 4
-    C = max(spec.hop, (split_ticks // 4 // spec.hop) * spec.hop)
+    want_split = split_ticks > 0 and len(ok) == 1
+    C = max(spec.hop, (max(split_ticks, 1) // 4 // spec.hop) * spec.hop)
     width = spec.window if spec.mode == "frame" else spec.window + 1
 
     hot_ref = None
@@ -816,6 +851,21 @@ def segment_sessions(
             counts = np.array([len(hot[k][0]) for k in hot_keys], dtype=np.int64)
             comp_key = np.repeat(np.arange(len(hot_keys), dtype=np.int64), counts)
             _SEQ_BIG = np.int64(1) << 42  # seq_no < 2^42
+            # composite (key ordinal, seq) must stay a sorted int64 —
+            # wrap would make searchsorted return WRONG start ticks
+            # silently, so both bounds fail loudly instead
+            if len(hot_keys) >= (1 << 21):
+                raise ValueError(
+                    f"{len(hot_keys)} hot sessions exceed the 2^21 composite "
+                    "bound; raise split_ticks so fewer sessions qualify"
+                )
+            if len(all_seqs) and (
+                int(all_seqs.min()) < 0 or int(all_seqs.max()) >= int(_SEQ_BIG)
+            ):
+                raise ValueError(
+                    "order-key values outside [0, 2^42) corrupt the hot-split "
+                    "composite ordering"
+                )
             comp_all = comp_key * _SEQ_BIG + all_seqs
             hot_ref = _ray.put((hot, matcher, comp_all, all_starts, _SEQ_BIG))
 
@@ -913,7 +963,7 @@ def segment_sessions(
                     voff, vlen = voff[all_idx], vlen[all_idx]
                     if uid_row is not None:
                         uid_row = uid_row[all_idx]
-        h, bucket = _bucket_of(kdf, np.where(chunk >= 0, chunk, 0) * (chunk >= 0))
+        h, bucket = _bucket_of(kdf, np.maximum(chunk, 0))
         if sidechannel:
             import os as _os
 
@@ -950,9 +1000,12 @@ def segment_sessions(
             # per-worker uid -> values cache: one registry RPC per uid per
             # WORKER, not per group — with fine-grained buckets (hundreds
             # of map_groups calls) the per-call round-trip would dominate.
-            # uids are unique per run (64 random bits), so stale entries
-            # from a previous run can never alias; cap the cache so a
-            # long-lived worker can't pin unbounded payload objects.
+            # sidechannel uids carry 63 random bits; blockref base uids
+            # carry 39 random bits but the DRIVER tracks every base it
+            # ever issued (_issued_uid_bases), so a later run in the same
+            # session can never re-issue a uid a worker still caches.
+            # Cap the cache so a long-lived worker can't pin unbounded
+            # payload objects.
             cache = _worker_payload_cache
             miss = [u for u in uniq if u not in cache]
             if miss and blockref:
@@ -1035,11 +1088,10 @@ def segment_sessions(
         # uid -> values across Dataset runs in one Ray session, so block
         # INDICES alone would alias a previous run's payloads
         uids: list[int] = []
-        seen_u: set[int] = set()
         while len(uids) < len(block_refs):
             u = (int.from_bytes(_os.urandom(8), "little") >> 1) & _UID_BLOCK_MASK
-            if u not in seen_u:
-                seen_u.add(u)
+            if u not in _issued_uid_bases:
+                _issued_uid_bases.add(u)
                 uids.append(u)
         # register BEFORE tagging: every uid resolves before any tagged
         # block can reach a reduce task (and the registry pins the blocks
@@ -1050,6 +1102,12 @@ def segment_sessions(
 
         @_ray.remote
         def _tag_block(tbl: pa.Table, uid_base_: int) -> pa.Table:
+            if tbl.num_rows == 0 and "tokens" not in tbl.column_names:
+                # zero-row blocks from to_arrow_refs can arrive
+                # SCHEMA-LESS ("new schema: ." — the _block_sketch /
+                # _filter_hot guard); emit a zero-column empty so the
+                # exchange unifies it away instead of KeyError-ing here
+                return pa.table({})
             # pointers only — token values never leave the block; raw
             # chunk offsets, NO combine_chunks (it copies, even for a
             # single chunk)

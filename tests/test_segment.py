@@ -505,3 +505,159 @@ def test_stream_slope_buffer_bound_guard():
     # is 512 MB, so check the guard arithmetic instead at that scale
     with pytest.raises(ValueError, match="buffer length"):
         kernels._check_functional_bounds(64, 2**31 - 1, buf_len=2**27)
+
+
+def test_null_session_keys_do_not_merge(ray_session):
+    """A null-keyed row sorted adjacent to a real session must NOT be
+    absorbed into it (plain not_equal yields null there, which reads as
+    'same session'); null vs null compares EQUAL (one session, the SQL
+    GROUP BY rule)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from podcast_audio_feature_extraction_ray.config import WindowSpec
+    from podcast_audio_feature_extraction_ray.stages import segment as seg
+
+    toks = [list(range(20)), list(range(20, 40)), list(range(40, 60))]
+    df = pd.DataFrame(
+        {
+            "doc_id": [None, None, "a"],
+            "tokens": toks,
+            "n_tok": [20, 20, 20],
+            "source": ["s", "s", "s"],
+            "seq_no": [0, 1, 0],
+        }
+    )
+    spec = WindowSpec(16, 8, "frame")
+    out = (
+        seg.segment_sessions(rd.from_pandas(df), spec)
+        .to_pandas()
+        .sort_values(["doc_id", "ts_start"], na_position="first")
+        .reset_index(drop=True)
+    )
+    # null session: 40 ticks -> starts 0,8,16,24,32 (partial last);
+    # "a": 20 ticks -> starts 0,8,16 — a merged run of 60 would differ
+    a_rows = out[out.doc_id == "a"]
+    null_rows = out[out.doc_id.isna()]
+    assert list(a_rows.ts_start) == [0, 8, 16]
+    assert list(null_rows.ts_start) == [0, 8, 16, 24, 32]
+    assert null_rows.ts_end.max() == 40
+
+
+def test_blockref_survives_empty_blocks(ray_session):
+    """A filtered-empty block reaching the blockref tagger (schema-less
+    or typed-empty) must flow through, not KeyError; output equals the
+    inline path on the same data."""
+    import ray.data as rd
+
+    from podcast_audio_feature_extraction_ray import fixtures
+    from podcast_audio_feature_extraction_ray.config import WindowSpec
+    from podcast_audio_feature_extraction_ray.stages import segment as seg
+
+    tbl = fixtures.token_table(2_000, n_docs=12, seed=3)
+    spec = WindowSpec(96, 48, "frame")
+
+    def keep_some(b):
+        import pyarrow.compute as pc
+
+        # empties out entire blocks for some sources
+        return b.filter(pc.equal(b["source"], "web"))
+
+    base = rd.from_arrow(tbl).repartition(8)
+    filtered = base.map_batches(keep_some, batch_format="pyarrow")
+    want = (
+        seg.segment_sessions(filtered, spec, with_aggregates=True)
+        .to_pandas()
+        .sort_values(["doc_id", "source", "ts_start"])
+        .reset_index(drop=True)
+    )
+    got = (
+        seg.segment_sessions(filtered, spec, payload="blockref",
+                             with_aggregates=True)
+        .to_pandas()
+        .sort_values(["doc_id", "source", "ts_start"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        want[["doc_id", "source", "ts_start", "ts_end", "n_tokens"]],
+        got[["doc_id", "source", "ts_start", "ts_end", "n_tokens"]],
+    )
+
+
+def test_multicolumn_order_key_disables_hot_split(ray_session):
+    """With a multi-column order key whose first column repeats inside a
+    session larger than split_ticks, the bucket impl must NOT hot-split
+    (ok[0] alone cannot resolve ticks) — output must equal impl='groups'
+    (which orders by the full key)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from podcast_audio_feature_extraction_ray.config import WindowSpec
+    from podcast_audio_feature_extraction_ray.stages import segment as seg
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for r in range(64):  # one big session, day repeats every 8 rows
+        rows.append(
+            {
+                "doc_id": "big",
+                "tokens": rng.integers(0, 100, 64).tolist(),
+                "n_tok": 64,
+                "source": "s",
+                "day": r // 8,
+                "seq_no": r % 8,
+            }
+        )
+    df = pd.DataFrame(rows)
+    spec = WindowSpec(96, 48, "frame")
+    kw = dict(order_key=("day", "seq_no"), split_ticks=512,
+              with_aggregates=True)
+    got = (
+        seg.segment_sessions(rd.from_pandas(df).repartition(4), spec, **kw)
+        .to_pandas()
+        .sort_values(["ts_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        seg.segment_sessions(
+            rd.from_pandas(df).repartition(4), spec, impl="groups", **kw
+        )
+        .to_pandas()
+        .sort_values(["ts_start"])
+        .reset_index(drop=True)
+    )
+    cols = ["doc_id", "source", "ts_start", "ts_end", "n_tokens"]
+    pd.testing.assert_frame_equal(want[cols], got[cols])
+    assert len(got) == len(range(0, 64 * 64, 48))  # full-session window count
+
+
+def test_segment_sessions_rejects_unknown_payload_impl(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from podcast_audio_feature_extraction_ray import fixtures
+    from podcast_audio_feature_extraction_ray.config import WindowSpec
+    from podcast_audio_feature_extraction_ray.stages import segment as seg
+
+    ds = rd.from_arrow(fixtures.token_table(100, n_docs=2, seed=1))
+    with pytest.raises(ValueError, match="payload"):
+        seg.segment_sessions(ds, WindowSpec(16, 8, "frame"), payload="Blockref")
+    with pytest.raises(ValueError, match="impl"):
+        seg.segment_sessions(ds, WindowSpec(16, 8, "frame"), impl="Groups")
+
+
+def test_list_array_refuses_large_list_flip():
+    """Past int32 offsets list_array must raise the actionable error,
+    never silently flip one block to large_list (zero-allocation check
+    via a broadcast view)."""
+    import numpy as np
+    import pytest
+
+    from podcast_audio_feature_extraction_ray.arrow_utils import list_array
+
+    fake_values = np.broadcast_to(np.int32(0), (2**31 + 2,))
+    with pytest.raises(ValueError, match="large_list"):
+        list_array(fake_values, np.array([0, 2**31 + 2], dtype=np.int64))
