@@ -414,3 +414,55 @@ def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
             np.cumsum(contrib, out=csum[1:])  # wraps mod 2^64
             h[valid] = csum[wstarts + vl] - csum[wstarts]
     return mix64(h1), mix64(h2 ^ np.uint64(_H2_TWEAK))
+
+
+# ----------------------------------------------------- broadcast key matcher
+
+
+def key_matcher(keys: "list[tuple]", n_cols: int):
+    """Compile a small list of key TUPLES (a broadcast hot-key set) into
+    per-column dictionaries + sorted mixed-radix composite codes, so a
+    batch matches against it with per-column ``pc.index_in`` (C++ hash
+    over the raw column) + one searchsorted — no per-row Python tuple
+    hashing (a ``pd.MultiIndex.get_indexer`` here measured ~10x the rest
+    of its stage; see ``stages/asof._EventIndex``).
+
+    Returns ``(col_uniq, radices, sorted_codes, ordinal)`` where
+    ``ordinal[i]`` maps the i-th sorted code back to the position of its
+    key in ``keys``.
+    """
+    col_uniq: list[pa.Array] = []
+    radices: list[int] = []
+    codes = np.zeros(len(keys), dtype=np.int64)
+    for ci in range(n_cols):
+        vals = list(dict.fromkeys(k[ci] for k in keys))
+        lut = {v: i for i, v in enumerate(vals)}
+        r = max(1, len(vals))
+        col_uniq.append(pa.array(vals))
+        radices.append(r)
+        codes = codes * r + np.array([lut[k[ci]] for k in keys], dtype=np.int64)
+    order = np.argsort(codes)
+    return col_uniq, radices, codes[order], order.astype(np.int64)
+
+
+def match_key_ordinals(batch: pa.Table, key_cols, matcher) -> np.ndarray:
+    """Per-row ordinal of the batch's key tuple in the matcher's original
+    key list, or -1 when absent. Null key values never match (the SQL
+    NULL-never-equals rule — ``index_in`` yields null there)."""
+    col_uniq, radices, sorted_codes, ordinal = matcher
+    comb = np.zeros(batch.num_rows, dtype=np.int64)
+    unknown = np.zeros(batch.num_rows, dtype=bool)
+    for c, uniq, r in zip(key_cols, col_uniq, radices):
+        col = batch[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.type != uniq.type:
+            col = col.cast(uniq.type)
+        idx = pc.fill_null(pc.index_in(col, value_set=uniq), -1)
+        idx = np.asarray(idx).astype(np.int64)
+        unknown |= idx < 0
+        comb = comb * r + np.where(idx < 0, 0, idx)
+    pos = np.searchsorted(sorted_codes, comb)
+    safe = np.minimum(pos, max(len(sorted_codes) - 1, 0))
+    hit = (~unknown) & (len(sorted_codes) > 0) & (sorted_codes[safe] == comb)
+    return np.where(hit, ordinal[safe], -1)

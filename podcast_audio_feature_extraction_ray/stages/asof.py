@@ -38,20 +38,6 @@ import ray
 from podcast_audio_feature_extraction_ray import hashing
 
 
-def _searchsorted_attach(
-    cutoffs: np.ndarray,
-    ev_ts: np.ndarray,
-    ev_val: np.ndarray,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """For each cutoff, index of last event with ts <= cutoff.
-
-    Returns (values, ts, valid_mask)."""
-    pos = np.searchsorted(ev_ts, cutoffs, side="right") - 1
-    valid = pos >= 0
-    safe = np.where(valid, pos, 0)
-    return ev_val[safe], ev_ts[safe], valid
-
-
 class _EventIndex:
     """Event table compiled to a single composite-key sorted array, so a
     batch is resolved with ONE ``np.searchsorted`` — no per-key loop.
@@ -68,6 +54,17 @@ class _EventIndex:
     def __init__(self, ev: "pd.DataFrame", key_cols, ts_col, value_col):
         ev = ev.sort_values([*key_cols, ts_col], kind="mergesort")
         self.key_cols = tuple(key_cols)
+        # events with a NULL key column match NOTHING (the SQL/ASOF
+        # NULL-never-equals rule, and what _key_codes already does for
+        # null WINDOW keys); factorize would code them -1, which breaks
+        # the mixed-radix injectivity (a*r - 1 == (a-1)*r + (r-1)) and
+        # leaks the null event's value onto a REAL key's windows
+        if len(ev):
+            notnull = np.ones(len(ev), dtype=bool)
+            for c in key_cols:
+                notnull &= ev[c].notna().to_numpy()
+            if not notnull.all():
+                ev = ev[notnull]
         # per-column dictionaries + mixed-radix combined key code
         self.col_uniq: list[pa.Array] = []
         self.radices: list[int] = []
@@ -93,8 +90,17 @@ class _EventIndex:
                 "strategy) instead"
             )
         codes = np.searchsorted(self.comb_uniq, comb)
-        self.ev_ts = ev[ts_col].to_numpy(dtype=np.int64)
-        self.ev_val = ev[value_col].to_numpy(dtype=np.float64)
+        # factorize codes follow FIRST APPEARANCE, not sort order: with
+        # >= 2 key columns a later key group can code below an earlier
+        # one, leaving ev_comp UNSORTED and every searchsorted below
+        # wrong. Re-sort rows by dense code (stable: each key tuple's
+        # rows are one contiguous ts-ascending span in the key-sorted
+        # frame, so within-key order — including the duplicate-ts
+        # last-wins tie-break — is preserved).
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
+        self.ev_ts = ev[ts_col].to_numpy(dtype=np.int64)[order]
+        self.ev_val = ev[value_col].to_numpy(dtype=np.float64)[order]
         self.ev_comp = codes * self._BIG + self.ev_ts
         # per-code start offsets to validate hits stay inside the key's span
         self.code_start = np.searchsorted(codes, np.arange(n_keys, dtype=np.int64))
@@ -190,7 +196,11 @@ def backfill_broadcast(
             idx = _TASK_IDX_CACHE.get(k)
             if idx is None:
                 idx = _EventIndex(ray.get(ref), key, ts_col, value_col)
-                _TASK_IDX_CACHE.clear()  # bound the cache: one live index
+                # bounded, NOT single-slot: two broadcast stages sharing
+                # a worker would otherwise thrash each other's compiled
+                # index and rebuild it per batch (evict oldest first)
+                while len(_TASK_IDX_CACHE) >= 4:
+                    _TASK_IDX_CACHE.pop(next(iter(_TASK_IDX_CACHE)))
                 _TASK_IDX_CACHE[k] = idx
             return idx.attach(batch, cutoff_from)
 
@@ -376,7 +386,10 @@ def backfill_join(
     hot_ref = None
     if hot_index:
         hot_keys = list(hot_index)
-        hot_mi = pd.MultiIndex.from_tuples(hot_keys, names=list(key))
+        # vectorized tuple matching (no per-row MultiIndex.get_indexer —
+        # the exact per-row-Python pattern _EventIndex's docstring
+        # measured 10x slower than the rest of the stage)
+        hot_matcher = hashing.key_matcher(hot_keys, len(key))
         nch = np.array(
             [max(1, -(-hot_index[k][0] // chunk_rows)) for k in hot_keys],
             dtype=np.int64,
@@ -389,16 +402,21 @@ def backfill_join(
             ],
             dtype=np.int64,
         )
-        hot_ref = _ray.put((hot_mi, C_arr, nch))
+        hot_ref = _ray.put((hot_matcher, C_arr, nch))
 
     def _chunk_of(batch: pa.Table, t: np.ndarray) -> np.ndarray:
         """Window-side chunk id per row (-1 = cold key)."""
-        hot_mi_, C_, _n = _ray.get(hot_ref)
-        mi = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in key])
-        pos = hot_mi_.get_indexer(mi)
+        matcher_, C_, nch_ = _ray.get(hot_ref)
+        pos = hashing.match_key_ordinals(batch, key, matcher_)
         hotr = pos >= 0
         safe = np.where(hotr, pos, 0)
-        return np.where(hotr, t // C_[safe], -1).astype(np.int64)
+        # clamp to the LAST chunk: a caller-supplied hot_index with an
+        # understated max cutoff would otherwise map windows past every
+        # event-duplicated chunk and silently null their backfill; the
+        # last chunk always holds every event copy (tag_events clamps
+        # its own-chunk the same way)
+        ch = np.minimum(t // C_[safe], nch_[safe] - 1)
+        return np.where(hotr, ch, -1).astype(np.int64)
 
     def _key_bucket(out: pa.Table) -> pa.Array:
         h = hashing.combined_key_hash(out[c].to_pandas() for c in key)
@@ -438,15 +456,17 @@ def backfill_join(
             return out.append_column("__b", _key_bucket(out))
         # duplicate each hot event into its own chunk and every later
         # chunk (events are the sparse side); cold events ride chunk -1
-        hot_mi_, C_, nch_ = _ray.get(hot_ref)
-        mi = pd.MultiIndex.from_arrays([batch[c].to_pandas() for c in key])
-        pos = hot_mi_.get_indexer(mi)
+        matcher_, C_, nch_ = _ray.get(hot_ref)
+        pos = hashing.match_key_ordinals(batch, key, matcher_)
         t = out["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
         hotr = pos >= 0
         safe = np.where(hotr, pos, 0)
-        own = t // np.maximum(C_[safe], 1)
-        # events past the last window's cutoff match nothing -> 0 copies
-        reps = np.where(hotr, np.maximum(nch_[safe] - own, 0), 1).astype(np.int64)
+        # clamp into the last chunk (the _chunk_of rule): under a stale
+        # hot_index a past-range event still lands one copy where the
+        # past-range windows were clamped to; with an accurate index the
+        # extra copy attaches nothing (events past every cutoff)
+        own = np.minimum(t // np.maximum(C_[safe], 1), nch_[safe] - 1)
+        reps = np.where(hotr, np.maximum(nch_[safe] - own, 1), 1).astype(np.int64)
         idx = np.repeat(np.arange(out.num_rows, dtype=np.int64), reps)
         within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
             np.cumsum(reps) - reps, reps

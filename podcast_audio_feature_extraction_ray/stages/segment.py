@@ -568,11 +568,16 @@ def _hot_session_index(
         )
         if not len(hot_keys):
             return {}
-        hot_mi = pd.MultiIndex.from_frame(hot_keys[list(sk)])
+        # vectorized tuple matching (shared hashing.key_matcher — a
+        # pd.MultiIndex.isin here hashes a Python tuple per meta row)
+        hot_matcher = hashing.key_matcher(
+            [tuple(r) for r in hot_keys[list(sk)].itertuples(index=False)],
+            len(sk),
+        )
 
         def only_hot_tbl(tbl: pa.Table) -> pa.Table:
-            mi = pd.MultiIndex.from_arrays([tbl[c].to_pandas() for c in sk])
-            return tbl.filter(pa.array(mi.isin(hot_mi))).drop_columns(["__kb"])
+            pos = hashing.match_key_ordinals(tbl, sk, hot_matcher)
+            return tbl.filter(pa.array(pos >= 0)).drop_columns(["__kb"])
 
     else:
         cand_set = np.sort(cand_arr)

@@ -104,11 +104,22 @@ def resume_complete(
     if not done:
         return False
     mdir = manifest_dir(out_dir)
-    sample = sorted(
+    # completed_partitions tolerates torn manifests (power loss mid-json
+    # -> partition pending), so the layout sample must skip them too —
+    # taking [0] unconditionally would make one zero-length file render
+    # the whole output unresumable with a JSONDecodeError
+    prev = None
+    for sample in sorted(
         f for f in os.listdir(mdir) if f.startswith("part-") and f.endswith(".json")
-    )[0]
-    with open(os.path.join(mdir, sample)) as fh:
-        prev = json.load(fh)
+    ):
+        try:
+            with open(os.path.join(mdir, sample)) as fh:
+                prev = json.load(fh)
+            break
+        except (json.JSONDecodeError, OSError):
+            continue
+    if prev is None:  # every manifest torn — nothing trustworthy: resume all
+        return False
     prev_hash = prev.get("hash", "pre-ckh1")
     # single-column keys hash identically under every combine version
     # (the combine only touches column 2+), so pre-upgrade layouts
@@ -177,6 +188,8 @@ def write_resumable(
         feature_dtype=feature_dtype, done=done,
     ):
         return 0
+    # hoisted out of tag(): np.isin would rebuild + sort this per batch
+    done_arr = np.fromiter(done, dtype=np.int64) if done else None
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -190,8 +203,8 @@ def write_resumable(
                     )
         pid = partition_of(batch, key_cols, num_partitions)
         batch = batch.append_column("__part", pa.array(pid))
-        if done:
-            batch = batch.filter(pa.array(~np.isin(pid, list(done))))
+        if done_arr is not None:
+            batch = batch.filter(pa.array(~np.isin(pid, done_arr)))
         return batch
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
@@ -320,6 +333,16 @@ def write_resumable_fragments(
     )
 
     def transform(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # a legitimately 0-row fragment yields a 0-row (possibly
+            # schema-less) block; pids[s] below would IndexError and the
+            # fragment could never complete — emit a typed empty (the
+            # zero-window backstop writes its manifest after the run)
+            from podcast_audio_feature_extraction_ray.arrow_utils import (
+                typed_empty_table,
+            )
+
+            return typed_empty_table({"__part": pa.int64()})
         paths = batch["path"].to_pylist()
         pids = np.array(
             [pid_of_path[os.path.abspath(p)] for p in paths], dtype=np.int64

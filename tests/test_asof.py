@@ -280,3 +280,107 @@ def test_backfill_join_blockref_registry_path(windows_and_events, monkeypatch):
             assert all(np.array_equal(x, y) for x, y in zip(a, b))
         else:
             pd.testing.assert_series_equal(a, b, check_names=False)
+
+
+def test_event_index_key_code_order_and_null_keys(ray_session):
+    """Two confirmed round-5 review repros:
+
+    1. with >= 2 key columns, a later key group whose secondary column
+       value sorts BEFORE an already-seen value used to leave the
+       composite event array unsorted (factorize codes by first
+       appearance) — every searchsorted returned garbage;
+    2. a null-key event coded -1 used to alias onto a REAL key
+       ((a)*r - 1 == (a-1)*r + (r-1)) and leak its value cross-key.
+    """
+    from podcast_audio_feature_extraction_ray.stages.asof import _EventIndex
+
+    ev = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2, 2],
+            "source": ["b", "b", "a", "b"],
+            "ts": [10, 20, 10, 20],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    idx = _EventIndex(ev, ("doc_id", "source"), "ts", "value")
+    assert (np.diff(idx.ev_comp) >= 0).all()  # the broken invariant
+    import pyarrow as pa
+
+    win = pa.table({"doc_id": [2, 2, 1], "source": ["b", "a", "b"], "cut": [100, 100, 15]})
+    out = idx.attach(win, lambda b: b["cut"].to_numpy())
+    assert out["bf_value"].to_pylist() == [4.0, 3.0, 1.0]
+    assert out["bf_ts"].to_pylist() == [20, 10, 10]
+
+    ev2 = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2],
+            "source": ["a", "b", None],
+            "ts": [10, 10, 50],
+            "value": [1.0, 2.0, 99.0],
+        }
+    )
+    idx2 = _EventIndex(ev2, ("doc_id", "source"), "ts", "value")
+    win2 = pa.table({"doc_id": [1, 2], "source": ["b", None], "cut": [99, 99]})
+    out2 = idx2.attach(win2, lambda b: b["cut"].to_numpy())
+    assert out2["bf_value"].to_pylist() == [2.0, None]  # no 99.0 leak
+
+
+def test_backfill_broadcast_interleaved_key_order(windows_and_events, ray_session):
+    """End-to-end broadcast backfill on an event table crafted so every
+    doc's source set appears in a DIFFERENT first-appearance order than
+    sorted order — matches the loop oracle exactly."""
+    win_ds, _, _ = windows_and_events
+    rng = np.random.default_rng(11)
+    win_df = win_ds.to_pandas()
+    keys = win_df[["doc_id", "source"]].drop_duplicates().reset_index(drop=True)
+    # reverse the key order so later groups' sources appear "early"
+    keys = keys.iloc[::-1].reset_index(drop=True)
+    ev = pd.DataFrame(
+        {
+            "doc_id": np.repeat(keys.doc_id.to_numpy(), 3),
+            "source": np.repeat(keys.source.to_numpy(), 3),
+            "ts": np.tile(np.array([0, 7, 23]), len(keys)),
+            "value": rng.normal(size=3 * len(keys)).round(3),
+        }
+    )
+    got = asof.backfill_broadcast(win_ds, ev, concurrency=2).to_pandas()
+    want = oracle.oracle_backfill(
+        win_df[["doc_id", "source", "win_id", "ts_start", "ts_end", "seg_tokens"]], ev
+    )
+    _check(got, want)
+
+
+def test_stale_hot_index_clamps_instead_of_nulling(ray_session):
+    """A caller-supplied hot_index understating max cutoff must still
+    attach matching events (clamped into the last chunk), not silently
+    null the out-of-range windows."""
+    win = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 4,
+            "source": ["s"] * 4,
+            "win_id": np.arange(4),
+            "ts_start": [0, 5_000, 12_000, 19_999],
+            "ts_end": [100, 5_100, 12_100, 20_000],
+        }
+    )
+    ev = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 2,
+            "source": ["s"] * 2,
+            "ts": [50, 15_000],
+            "value": [1.0, 2.0],
+        }
+    )
+    stale = {("d", "s"): (1_000_000, 10_000)}  # real cutoffs reach 19_999
+    got = (
+        asof.backfill_join(
+            rd.from_pandas(win),
+            rd.from_pandas(ev),
+            hot_index=stale,
+            chunk_rows=100_000,
+        )
+        .to_pandas()
+        .sort_values("win_id")
+        .reset_index(drop=True)
+    )
+    assert got["bf_value"].to_list() == [1.0, 1.0, 1.0, 2.0]

@@ -450,3 +450,50 @@ def test_stale_fragment_data_file_removed_on_zero_window_correction(
     total = mf.read_output(out).count()
     want = pq.read_metadata(os.path.join(out, "part=00000", "data.parquet")).num_rows
     assert total == want
+
+
+def test_zero_row_fragment_file_completes(tiny_tokens, tmp_path):
+    """A fragment parquet with ZERO rows (a producer wrote an empty
+    file) must flow through write_resumable_fragments — the per-batch
+    pid slicing used to IndexError on the empty block, wedging the
+    fragment as forever-pending."""
+    import pyarrow as pa
+
+    from podcast_audio_feature_extraction_ray.config import WindowSpec
+    spec = WindowSpec(16, 8, "frame")
+
+    def batch_fn(b: pa.Table) -> pa.Table:
+        return seg.segment_batch(
+            b, spec, key_cols=("doc_id", "source", "seq_no"),
+            with_aggregates=True, emit_tokens=False,
+        )
+
+    frag_dir = tmp_path / "frags"
+    os.makedirs(frag_dir)
+    zero = tiny_tokens.slice(0, 0)
+    files = []
+    for i, t in enumerate((tiny_tokens, zero)):
+        p = str(frag_dir / f"f{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+    sortw = ("doc_id", "source", "seq_no", "ts_start")
+    out = str(tmp_path / "out")
+    assert mf.write_resumable_fragments(files, batch_fn, out, sort_within=sortw) == 2
+    assert mf.pending_fragments(files, out) == []
+    # and the resume is the advertised no-op
+    assert mf.write_resumable_fragments(files, batch_fn, out, sort_within=sortw) == 0
+
+
+def test_torn_first_manifest_still_resumes(tiny_tokens, tmp_path):
+    """A zero-length part-00000.json (power loss mid-write) must leave
+    the output RESUMABLE: the layout sample skips torn manifests the
+    same way completed_partitions does."""
+    out = str(tmp_path / "out")
+    _run(tiny_tokens, out)
+    mans = sorted(glob.glob(os.path.join(out, "_manifest", "part-*.json")))
+    assert len(mans) > 1
+    open(mans[0], "w").close()  # tear the lexicographically-first one
+    # resume: only the torn partition is redone, bytes end identical
+    n = _run(tiny_tokens, out)
+    assert n == 1
+    assert _run(tiny_tokens, out) == 0
