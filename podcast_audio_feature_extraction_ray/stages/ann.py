@@ -66,6 +66,44 @@ def _hash_sample(ds, id_col: str, col: str, sample_n: int) -> pd.DataFrame:
     return part.drop(columns="__h").reset_index(drop=True)
 
 
+def _train_cosine_kmeans(
+    S: np.ndarray, n_centroids: int, iters: int, seed: int
+) -> np.ndarray:
+    """Seeded cosine k-means on the unit sphere over a bounded sample —
+    the shared coarse quantizer of ``ivf_topk`` and ``semdedup`` (one
+    audited copy; they had diverged once already on the empty-sample
+    guard). Returns the unit-norm centroid matrix."""
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(Sn), size=min(n_centroids, len(Sn)), replace=False)
+    C = Sn[np.sort(init)].copy()
+    for _ in range(iters):
+        assign = np.argmax(Sn @ C.T, axis=1)  # cosine k-means on unit sphere
+        for ci in range(len(C)):
+            m = assign == ci
+            if m.any():
+                v = Sn[m].mean(axis=0)
+                C[ci] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def _empty_scores(batch: pa.Table, id_col: str) -> pa.Table:
+    """Typed 0-row scorer output for an empty input block (offsets of an
+    empty list column have length 1, so _emb_matrix would IndexError);
+    vec_id echoes the batch's id dtype so blocks unify. Schema-less
+    empties (no columns at all) return a zero-column table, which the
+    exchange unifies away."""
+    if id_col not in batch.column_names:
+        return pa.table({})
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": batch[id_col],
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+
+
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
@@ -86,6 +124,8 @@ class _TopkScorer:
         self.id_col, self.col, self.k, self.round_to = id_col, col, k, round_to
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_scores(batch, self.id_col)
         e = _emb_matrix(batch, self.col)
         norms = np.sqrt((e * e).sum(axis=1))
         norms[norms == 0] = 1.0
@@ -124,7 +164,9 @@ def cosine_topk(
     """Global top-k neighbors per query; returns (query_id, vec_id,
     score, rank) with rank by (score desc, vec_id asc)."""
     q = np.asarray(queries, dtype=np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # a zero query vector must not NaN every score (guard like the
+    # data side / semdedup): it scores 0 against everything instead
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     ref = ray.put({"mat": qn, "ids": np.asarray(query_ids, dtype=np.int64)})
     cand = ds.map_batches(
         _TopkScorer,
@@ -166,15 +208,25 @@ def lsh_bucketed_topk(
     dim = len(np.asarray(queries)[0])
     planes = rng.normal(size=(n_planes, dim))
     q = np.asarray(queries, dtype=np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # a zero query vector must not NaN every score (guard like the
+    # data side / semdedup): it scores 0 against everything instead
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     qsig = (qn @ planes.T > 0).astype(np.uint32)
     qsig = (qsig * (1 << np.arange(n_planes, dtype=np.uint32))).sum(axis=1)
-    # probe set per query: own bucket + hamming<=probe_hamming neighbors
+    # probe set per query: own bucket + every bucket within
+    # probe_hamming bit flips (exact, not just hamming-1 — the probe set
+    # is per QUERY, so even C(16, 3) = 560 flips stay cheap)
+    from itertools import combinations
+
     probes: dict[int, list[int]] = {}
     for qi, s in enumerate(qsig):
         buckets = [int(s)]
-        if probe_hamming >= 1:
-            buckets += [int(s) ^ (1 << b) for b in range(n_planes)]
+        for r in range(1, probe_hamming + 1):
+            for bits in combinations(range(n_planes), r):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                buckets.append(int(s) ^ flip)
         for b in buckets:
             probes.setdefault(b, []).append(qi)
     planes_ref = ray.put(planes)
@@ -189,6 +241,8 @@ def lsh_bucketed_topk(
             self.qn, self.qids = q["mat"], q["ids"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_scores(batch, id_col)
             e = _emb_matrix(batch, col)
             norms = np.sqrt((e * e).sum(axis=1))
             norms[norms == 0] = 1.0
@@ -271,22 +325,29 @@ def ivf_topk(
     rounded cosine, so results are verifiable per-row.
     """
     q = np.asarray(queries, dtype=np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # a zero query vector must not NaN every score (guard like the
+    # data side / semdedup): it scores 0 against everything instead
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
 
     # --- train coarse quantizer on a bounded, layout-independent sample
     sample = _hash_sample(ds, id_col, col, sample_n)
+    if len(sample) == 0:
+        # empty corpus: np.stack would raise; return the typed empty
+        # result (the semdedup guard, which this path had lacked)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            typed_empty_table(
+                {
+                    "query_id": pa.int64(),
+                    "vec_id": pa.int64(),
+                    "score": pa.float64(),
+                    "rank": pa.int64(),
+                }
+            )
+        )
     S = np.stack([np.asarray(x, dtype=np.float64) for x in sample[col]])
-    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    init = rng.choice(len(Sn), size=min(n_centroids, len(Sn)), replace=False)
-    C = Sn[np.sort(init)].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(Sn @ C.T, axis=1)  # cosine k-means on unit sphere
-        for ci in range(len(C)):
-            m = assign == ci
-            if m.any():
-                v = Sn[m].mean(axis=0)
-                C[ci] = v / max(np.linalg.norm(v), 1e-12)
+    C = _train_cosine_kmeans(S, n_centroids, kmeans_iters, seed)
     probes = np.argsort(-(qn @ C.T), axis=1, kind="stable")[:, :n_probe]
     ref = ray.put(
         {
@@ -313,6 +374,8 @@ def ivf_topk(
             }
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_scores(batch, id_col)
             e = _emb_matrix(batch, col)
             norms = np.sqrt((e * e).sum(axis=1))
             norms[norms == 0] = 1.0
@@ -485,20 +548,17 @@ def semdedup(
             )
         )
     S = np.stack([np.asarray(x, dtype=np.float64) for x in sample[col]])
-    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    init = rng.choice(len(Sn), size=min(n_centroids, len(Sn)), replace=False)
-    C = Sn[np.sort(init)].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(Sn @ C.T, axis=1)
-        for ci in range(len(C)):
-            m = assign == ci
-            if m.any():
-                v = Sn[m].mean(axis=0)
-                C[ci] = v / max(np.linalg.norm(v), 1e-12)
+    C = _train_cosine_kmeans(S, n_centroids, kmeans_iters, seed)
     c_ref = ray.put(C)
 
     def assign_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            if col not in batch.column_names:
+                return pa.table({})
+            return pa.table(
+                {id_col: batch[id_col], col: batch[col],
+                 "cluster": pa.array([], type=pa.int64())}
+            )
         Cb = ray.get(c_ref)
         E = _emb_matrix(batch, col)
         En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)

@@ -283,6 +283,14 @@ def simhash_pairs(
     chunked pairwise xor + LUT popcount inside each band-value run, so a
     hot band value costs bounded memory (``pair_chunk`` rows at a time).
     """
+    if not 0 <= max_hamming <= 3:
+        # 4 bands pigeonhole exactly hamming <= 3: at hamming 4+ a pair
+        # can differ in every band and is silently never co-located —
+        # refuse rather than under-deliver the documented recall-1 set
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16-bit banding's "
+            "recall guarantee (hamming <= 3); re-band before raising it"
+        )
 
     def sh(batch: pa.Table) -> pa.Table:
         wh, toff = hashing.hash_words(batch[text_col])
@@ -537,6 +545,21 @@ def ngram_jaccard_verify(
     a_ids = pairs["a"].to_numpy().astype(np.int64)
     b_ids = pairs["b"].to_numpy().astype(np.int64)
     npairs = len(a_ids)
+    if npairs == 0:
+        # short-circuit like the _ds twin: with no candidates, the
+        # groupby below would emit ZERO count_pairs rows and the caller
+        # would see the INTERMEDIATE schema instead of (a, b, inter_n,
+        # union_n) — an all-distinct corpus would crash the composition
+        import ray.data as _rd
+
+        from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
+        return _rd.from_arrow(
+            typed_empty_table(
+                {"a": pa.int64(), "b": pa.int64(),
+                 "inter_n": pa.int64(), "union_n": pa.int64()}
+            )
+        )
     # doc -> (pair, side) memberships as SORTED FLAT ARRAYS (no dict):
     # batch-side resolution is one searchsorted + vectorized expansion
     m_doc = np.concatenate([a_ids, b_ids])
@@ -643,10 +666,25 @@ def ngram_jaccard_verify(
             }
         )
 
-    return (
+    out = (
         ds.map_batches(doc_grams, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__cb")
         .map_groups(count_pairs, batch_format="pyarrow")
+    )
+    # union a typed 0-row seed: with an externally supplied pair list
+    # whose docs are ALL absent, zero groups reach count_pairs and the
+    # result would otherwise surface schema-less
+    import ray.data as _rd
+
+    from podcast_audio_feature_extraction_ray.arrow_utils import typed_empty_table
+
+    return out.union(
+        _rd.from_arrow(
+            typed_empty_table(
+                {"a": pa.int64(), "b": pa.int64(),
+                 "inter_n": pa.int64(), "union_n": pa.int64()}
+            )
+        )
     )
 
 

@@ -98,6 +98,7 @@ def token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
         txt = batch[text_col]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")  # null counts as "" in BOTH columns
         ws = pc.list_value_length(pc.split_pattern(txt, " ")).cast(pa.int64())
         re_n = pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64())
         return pa.table(
@@ -188,7 +189,9 @@ def text_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
                 # texts count as "" (1 token), consistent with the quality
                 # counters in the same row.
                 "n_ws_tokens": pa.array(n_words),
-                "n_re_tokens": pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64()),
+                "n_re_tokens": pc.count_substring_regex(
+                    pc.fill_null(txt, ""), TOKEN_RE
+                ).cast(pa.int64()),
                 "s_en": pa.array(la["s_en"]),
                 "s_de": pa.array(la["s_de"]),
                 "s_fr": pa.array(la["s_fr"]),

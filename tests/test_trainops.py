@@ -1476,3 +1476,104 @@ def test_mix_sample_layout_invariant_property(ray_session, seed, n_blocks):
         rates,
     ).to_pandas()
     assert set(a["doc_id"]) == set(b["doc_id"])
+
+
+def test_ann_empty_blocks_and_empty_corpus(docs_ds):
+    """Round-5 review regressions: (a) an empty block among real ones
+    must flow through every ANN scorer (offsets of an empty list column
+    have length 1 — _emb_matrix used to IndexError); (b) ivf_topk on a
+    fully empty corpus returns the typed empty result instead of
+    np.stack crashing."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from podcast_audio_feature_extraction_ray.stages import ann
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    qt = emb.filter(pc.less(emb["vec_id"], 3))
+    q = np.stack([np.asarray(x, dtype=np.float64) for x in qt["embedding"].to_pylist()])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+
+    # interleave empty blocks: filter empties out some partitions
+    spotty = (
+        rd.from_arrow(emb)
+        .repartition(6)
+        .map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], 40)), batch_format="pyarrow"
+        )
+    )
+    want = ann.cosine_topk(rd.from_arrow(emb.filter(pc.less(emb["vec_id"], 40))), q, qids, k=5).to_pandas()
+    got = ann.cosine_topk(spotty, q, qids, k=5).to_pandas()
+    key = lambda df: sorted(zip(df.query_id, df.vec_id, df.score))
+    assert key(got) == key(want)
+    # the LSH / IVF / semdedup paths also survive the empty blocks
+    assert len(ann.lsh_bucketed_topk(spotty, q, qids, k=3).to_pandas()) > 0
+    assert len(ann.ivf_topk(spotty, q, qids, k=3).to_pandas()) > 0
+    assert len(ann.semdedup(spotty, tau=0.999).to_pandas()) > 0
+
+    empty = rd.from_arrow(emb.slice(0, 0))
+    out = ann.ivf_topk(empty, q, qids, k=3).to_pandas()
+    assert len(out) == 0
+    assert set(out.columns) == {"query_id", "vec_id", "score", "rank"}
+
+
+def test_ann_full_probe_equals_brute(docs_ds):
+    """probe_hamming = n_planes probes EVERY bucket, so the LSH result
+    must equal brute force exactly (the old code silently capped probes
+    at hamming-1 whatever the caller asked for)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from podcast_audio_feature_extraction_ray.stages import ann
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    qt = emb.filter(pc.less(emb["vec_id"], 3))
+    q = np.stack([np.asarray(x, dtype=np.float64) for x in qt["embedding"].to_pylist()])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    n_planes = 6
+    brute = ann.cosine_topk(rd.from_arrow(emb), q, qids, k=5).to_pandas()
+    full = ann.lsh_bucketed_topk(
+        rd.from_arrow(emb), q, qids, k=5, n_planes=n_planes,
+        probe_hamming=n_planes,
+    ).to_pandas()
+    key = lambda df: sorted(zip(df.query_id, df.vec_id))
+    assert key(full) == key(brute)
+
+
+def test_simhash_rejects_out_of_recall_threshold(docs_ds):
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    with pytest.raises(ValueError, match="recall"):
+        dedup.simhash_pairs(docs_ds, max_hamming=4)
+
+
+def test_verify_empty_candidates_typed(docs_ds):
+    """Zero LSH candidates must yield the (a, b, inter_n, union_n)
+    schema, not the intermediate gram-row schema (an all-distinct corpus
+    used to crash the composed near-dup pipeline)."""
+    import pandas as pd
+
+    from podcast_audio_feature_extraction_ray.stages import dedup
+
+    out = dedup.ngram_jaccard_verify(
+        docs_ds, pd.DataFrame({"a": [], "b": []})
+    ).to_pandas()
+    assert len(out) == 0
+    assert set(out.columns) == {"a", "b", "inter_n", "union_n"}
+
+
+def test_null_text_token_counts_not_null(docs_ds):
+    """Null texts count as '' in EVERY column of token_count and
+    text_signals (count_substring_regex propagates nulls — the regex
+    count used to come back null while its siblings said 1 word)."""
+    import pandas as pd
+
+    from podcast_audio_feature_extraction_ray.stages.text import text_signals, token_count
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [None, "two words"]})
+    tc = token_count(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert tc.n_re_tokens.tolist() == [0, 2]
+    assert tc.n_ws_tokens.tolist() == [1, 2]
+    ts = text_signals(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert ts.n_re_tokens.tolist() == [0, 2]
+    assert not ts.isna().any().any()
